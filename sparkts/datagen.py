@@ -1,0 +1,262 @@
+"""Deterministic synthetic corpora for tests + benchmarks.
+
+Two families (see FIXTURES.md):
+
+* ``web_pages`` — the north-star input table
+  ``(url string, warc_ts timestamp, html binary, text string, lang string)``
+  of Common-Crawl-style pages. Every column is a *pure function of the url*
+  (FIXTURES.md F1: byte-identical-per-url invariant), domains are Zipf-skewed
+  (head-heavy for skew testing), and whole domain-hours are deliberately
+  carved out to exercise gap-fill.
+
+* panel fixtures — statsforecast-shaped long panels
+  (``unique_id, ds, y [, static_*]``) mirroring the reference's
+  ``generate_series`` (reference utils.py:18-56) plus the public-domain
+  AirPassengers golden series (reference utils.py:59-217), intermittent
+  demand series (FIXTURES.md F4) and the cv panel (F5).
+
+Generation is Spark-side (``spark.range`` + hash functions + sequence/explode)
+so it scales to any row count without a driver bottleneck; the only pandas UDF
+is the vectorized text synthesizer (numpy, no per-row Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# ---------------------------------------------------------------------------
+# web_pages (F1)
+# ---------------------------------------------------------------------------
+
+BASE_EPOCH = "2026-01-01 00:00:00"
+SPAN_DAYS = 14
+LANGS = ["en", "de", "es", "fr", "zh", "pt", "it", "ru", "ja", "nl"]
+
+_HTML_PREFIX = "<html><body>"
+_HTML_SUFFIX = "</body></html>"
+
+# deterministic pseudo-word vocabulary: 16^3 = 4096 trisyllabic words
+_SYLLABLES = [
+    "ba", "ce", "di", "fo", "gu", "ka", "le", "mi",
+    "no", "pu", "ra", "se", "ti", "vo", "wu", "zy",
+]
+VOCAB = np.array(
+    [a + b + c for a in _SYLLABLES for b in _SYLLABLES for c in _SYLLABLES],
+    dtype="<U6",
+)
+_MAX_TOKENS = 300
+
+
+def _texts_from_hash(uhash: np.ndarray) -> np.ndarray:
+    """Vectorized text synthesis: uint64 url-hash → pseudo-text string.
+
+    n_tokens in [10, 300) (≈50–2000 chars); token j of row i is a
+    multiplicative hash of (uhash_i, j) into the 4096-word vocabulary.
+    Pure numpy — no per-row Python until the final column-wise join.
+    """
+    u = uhash.astype(np.uint64)
+    n = u.shape[0]
+    n_tok = (10 + (u % np.uint64(290))).astype(np.int64)
+    j = np.arange(_MAX_TOKENS, dtype=np.uint64)
+    mixed = (u[:, None] ^ (j[None, :] * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+        0xBF58476D1CE4E5B9
+    )
+    tok_ids = ((mixed >> np.uint64(24)) % np.uint64(4096)).astype(np.int64)
+    words = VOCAB[tok_ids]  # (n, MAX_TOKENS) of '<U6'
+    mask = j[None, :].astype(np.int64) < n_tok[:, None]
+    words = np.where(mask, words, "")
+    # column-wise reduction: O(MAX_TOKENS) numpy char-adds, not O(rows)
+    out = words[:, 0].astype("<U2100")
+    sep = np.where(mask[:, 1:], " ", "")
+    for col in range(1, _MAX_TOKENS):
+        out = np.char.add(np.char.add(out, sep[:, col - 1]), words[:, col])
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def _text_udf(uhash: pd.Series) -> pd.Series:
+    return pd.Series(_texts_from_hash(uhash.to_numpy(dtype=np.int64).view(np.uint64)))
+
+
+def web_pages(
+    spark: SparkSession,
+    n_rows: int,
+    n_domains: int = 1000,
+    seed: int = 42,
+    gap_mod: int = 9,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic Common-Crawl-style pages table.
+
+    Schema: (url string, warc_ts timestamp, html binary, text string, lang string).
+    Deterministic under any partitioning: every column is a pure function of
+    the row index / url. Domains ~ Zipf(s≈1): domain rank = n_domains ** U,
+    U uniform from a row hash, so p(rank) ∝ 1/rank. Whole (domain, hour)
+    cells where hash % gap_mod == 0 are dropped → guaranteed gaps for
+    gap-fill tests. Actual row count is therefore slightly below ``n_rows``.
+    """
+    df = spark.range(0, n_rows, numPartitions=partitions)
+    s = F.lit(seed)
+    h_dom = F.abs(F.xxhash64(s, F.lit("dom"), "id"))
+    u01 = (h_dom % F.lit(1 << 30)).cast("double") / F.lit(float(1 << 30))
+    domain_rank = F.least(
+        F.lit(n_domains), (F.pow(F.lit(float(n_domains)), u01)).cast("long") + F.lit(0)
+    )
+    domain = F.concat(F.lit("d"), domain_rank.cast("string"), F.lit(".example.com"))
+    path = F.lpad(F.conv(F.abs(F.xxhash64(s, F.lit("path"), "id")).cast("string"), 10, 16), 16, "0")
+    url = F.concat(F.lit("https://"), domain, F.lit("/p/"), path)
+
+    df = df.withColumn("url", url).withColumn("domain", domain)
+    # all remaining columns are pure functions of the url string
+    uh = F.xxhash64(F.lit(seed), F.col("url"))
+    off = F.abs(F.xxhash64(F.lit(seed), F.lit("ts"), F.col("url"))) % F.lit(SPAN_DAYS * 86400)
+    warc_ts = F.timestamp_seconds(F.unix_timestamp(F.lit(BASE_EPOCH)) + off)
+    hour_idx = F.floor(off / F.lit(3600))
+    keep = (F.abs(F.xxhash64(F.lit(seed), F.lit("gap"), F.col("domain"), hour_idx)) % gap_mod) != 0
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]),
+        (F.abs(F.xxhash64(F.lit(seed), F.lit("lang"), F.col("url"))) % len(LANGS) + 1).cast("int"),
+    )
+    df = (
+        df.where(keep)
+        .withColumn("warc_ts", warc_ts)
+        .withColumn("lang", lang)
+        .withColumn("text", _text_udf(uh))
+        .withColumn(
+            "html",
+            F.encode(F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)), "UTF-8"),
+        )
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+    return df
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """The extraction stage html→text (north-star invariant: byte-identical
+    to the stored ``text`` column). Pure Spark expressions — the wrapper is
+    exact so extraction is an exact substring; no UDF, fully codegen'd.
+    """
+    s = F.decode(F.col("html"), "UTF-8")
+    extracted = F.expr(
+        f"substring(decode(html, 'UTF-8'), {len(_HTML_PREFIX) + 1}, "
+        f"length(decode(html, 'UTF-8')) - {len(_HTML_PREFIX) + len(_HTML_SUFFIX)})"
+    )
+    return pages.withColumn("extracted_text", extracted)
+
+
+def domain_of(url_col: str = "url") -> F.Column:
+    """Series key: registrable host parsed from the url (built-in, no UDF)."""
+    return F.parse_url(F.col(url_col), F.lit("HOST")).alias("domain")
+
+
+# ---------------------------------------------------------------------------
+# panel fixtures (F2, F4, F5) — statsforecast-shaped long panels
+# ---------------------------------------------------------------------------
+
+def panel_series(
+    spark: SparkSession,
+    n_series: int = 100,
+    min_length: int = 50,
+    max_length: int = 500,
+    season_length: int = 7,
+    n_static: int = 0,
+    seed: int = 42,
+    end_date: str = "2026-01-01",
+) -> DataFrame:
+    """Daily panel ``(unique_id string, ds timestamp, y float, static_i int)``.
+
+    Mirrors the semantics of the reference generator (utils.py:18-56): per-series
+    length uniform in [min_length, max_length], y = trend + m-seasonality +
+    hash noise, all pure functions of (unique_id, step). Series share a common
+    end date (equal_ends) so cross-validation cutoffs align.
+    """
+    df = spark.range(n_series).withColumn(
+        "unique_id", F.concat(F.lit("series_"), F.col("id").cast("string"))
+    )
+    hlen = F.abs(F.xxhash64(F.lit(seed), F.lit("len"), "unique_id"))
+    length = (hlen % (max_length - min_length + 1) + min_length).cast("int")
+    df = df.withColumn("length", length)
+    for i in range(n_static):
+        df = df.withColumn(
+            f"static_{i}",
+            (F.abs(F.xxhash64(F.lit(seed), F.lit(f"st{i}"), "unique_id")) % 100).cast("int"),
+        )
+    df = df.withColumn("step", F.explode(F.sequence(F.lit(0), F.col("length") - 1)))
+    ds = F.date_add(F.to_date(F.lit(end_date)), (F.col("step") - F.col("length") + 1))
+    noise = (
+        (F.abs(F.xxhash64(F.lit(seed), F.lit("y"), "unique_id", "step")) % 1000).cast("double")
+        / 1000.0
+        - 0.5
+    )
+    base = (F.abs(F.xxhash64(F.lit(seed), F.lit("base"), "unique_id")) % 50).cast("double")
+    trend = F.col("step").cast("double") * 0.1
+    seas = F.sin(
+        F.col("step").cast("double") * (2.0 * float(np.pi) / season_length)
+    ) * 5.0
+    y = (base + trend + seas + noise).cast("float")
+    out = df.select(
+        "unique_id",
+        F.to_timestamp(ds).alias("ds"),
+        y.alias("y"),
+        *[f"static_{i}" for i in range(n_static)],
+    )
+    return out
+
+
+def intermittent_series(
+    spark: SparkSession,
+    n_series: int = 100,
+    length: int = 120,
+    seed: int = 42,
+) -> DataFrame:
+    """Sparse-demand panel (F4): ≈85% exact zeros, seeded positive demands,
+    plus one all-zeros series (zero-demand guard for ADIDA/Croston)."""
+    df = (
+        spark.range(n_series)
+        .withColumn("unique_id", F.concat(F.lit("sparse_"), F.col("id").cast("string")))
+        .withColumn("step", F.explode(F.sequence(F.lit(0), F.lit(length - 1))))
+    )
+    h = F.abs(F.xxhash64(F.lit(seed), F.lit("dem"), "unique_id", "step"))
+    demand = F.when(
+        (h % 100 < 15) & (F.col("id") != 0),  # series 0 stays all-zero
+        (h % 7 + 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ds = F.date_add(F.to_date(F.lit("2025-09-03")), F.col("step"))
+    return df.select(
+        "unique_id", F.to_timestamp(ds).alias("ds"), demand.cast("float").alias("y")
+    )
+
+
+# Public-domain Box & Jenkins airline passengers series, 1949-01..1960-12
+# (same golden fixture the reference uses, utils.py:59-217).
+AIR_PASSENGERS = np.array(
+    [112, 118, 132, 129, 121, 135, 148, 148, 136, 119, 104, 118,
+     115, 126, 141, 135, 125, 149, 170, 170, 158, 133, 114, 140,
+     145, 150, 178, 163, 172, 178, 199, 199, 184, 162, 146, 166,
+     171, 180, 193, 181, 183, 218, 230, 242, 209, 191, 172, 194,
+     196, 196, 236, 235, 229, 243, 264, 272, 237, 211, 180, 201,
+     204, 188, 235, 227, 234, 264, 302, 293, 259, 229, 203, 229,
+     242, 233, 267, 269, 270, 315, 364, 347, 312, 274, 237, 278,
+     284, 277, 317, 313, 318, 374, 413, 405, 355, 306, 271, 306,
+     315, 301, 356, 348, 355, 422, 465, 467, 404, 347, 305, 336,
+     340, 318, 362, 348, 363, 435, 491, 505, 404, 359, 310, 337,
+     360, 342, 406, 396, 420, 472, 548, 559, 463, 407, 362, 405,
+     417, 391, 419, 461, 472, 535, 622, 606, 508, 461, 390, 432],
+    dtype=np.float64,
+)
+
+
+def air_passengers_df(spark: SparkSession) -> DataFrame:
+    """144-month golden fixture as a panel DataFrame."""
+    pdf = pd.DataFrame(
+        {
+            "unique_id": "AirPassengers",
+            "ds": pd.date_range("1949-01-31", periods=144, freq="ME"),
+            "y": AIR_PASSENGERS.astype(np.float32),
+        }
+    )
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,234 @@
+"""SparkForecast — the engine's public surface.
+
+The reference's flagship entry point is the *stateless* ``forecast`` path
+(fit + predict inside one kernel call per series, reference core.py:144-244,
+chosen for memory efficiency core.py:894-899). That maps 1:1 onto Spark:
+
+    panel df ──repartition(id)──▶ applyInPandas(kernel, schema) ──▶ wide df
+
+Exactly one shuffle; the kernel is pure numpy over Arrow batches. The same
+shape implements ``cross_validation`` (rolling-origin backtest, reference
+core.py:246-383) and ``fitted_values`` (in-sample predictions, reference
+core.py:1095-1120).
+
+Scale design notes
+------------------
+* One exchange on the series key; everything else is kernel-local. With tiers
+  bucketed/partitioned by the same key upstream, AQE elides the exchange.
+* Fallback model semantics per reference core.py:189-204: a model that raises
+  inside the kernel is replaced by the fallback's numbers under the failing
+  model's column name (so schemas stay fixed); without a fallback the task
+  fails loudly.
+* Each series must fit in one task's memory — that is the reference's own
+  model (a series is one GroupedArray slice); 10^5-point series ≈ 1 MB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from sparkts.kernels.base import Model
+from sparkts.plans.schema import cv_schema, fitted_schema, forecast_schema, model_columns
+
+
+def _future_index(last, h: int, freq):
+    """Future timestamps from last + freq (reference core.py:708-715
+    semantics: the grid is generated, never read from data)."""
+    if isinstance(freq, int):
+        return np.asarray([last + freq * (i + 1) for i in range(h)])
+    off = pd.tseries.frequencies.to_offset(freq)
+    return pd.date_range(start=last + off, periods=h, freq=off)
+
+
+def _run_models(models, fallback, y, h, level, fitted):
+    """Per-series model sweep with fallback (reference core.py:189-204)."""
+    out: dict[str, np.ndarray] = {}
+    fitted_out: dict[str, np.ndarray] = {}
+    for m in models:
+        try:
+            res = m.forecast(y, h, level=level, fitted=fitted)
+        except Exception:
+            if fallback is None:
+                raise
+            res = fallback.forecast(y, h, level=level, fitted=fitted)
+        alias = repr(m)
+        out[alias] = res["mean"]
+        for lv in sorted(level or []):
+            out[f"{alias}-lo-{lv}"] = res[f"lo-{lv}"]
+            out[f"{alias}-hi-{lv}"] = res[f"hi-{lv}"]
+        if fitted:
+            fitted_out[alias] = res.get("fitted")
+    return out, fitted_out
+
+
+class SparkForecast:
+    """Panel forecaster over a long DataFrame (id, time, target).
+
+    Parameters mirror the reference engine's (models list, freq as a pandas
+    offset alias or integer period; reference core.py:541-575). All methods
+    are stateless — nothing is persisted on the engine object, so the same
+    instance can serve many DataFrames (and Spark tasks never ship state).
+    """
+
+    def __init__(
+        self,
+        models: Sequence[Model],
+        freq: str | int,
+        fallback_model: Model | None = None,
+    ):
+        aliases = [repr(m) for m in models]
+        if len(set(aliases)) != len(aliases):
+            raise ValueError(f"duplicate model aliases: {aliases}")
+        self.models = list(models)
+        self.freq = freq
+        self.fallback_model = fallback_model
+
+    # ------------------------------------------------------------------ #
+    def forecast(
+        self,
+        df: DataFrame,
+        h: int,
+        level: list[int] | None = None,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+    ) -> DataFrame:
+        """h-step-ahead forecasts: one row per (id, future step), one column
+        per model (+ lo/hi per level)."""
+        models, freq, fallback = self.models, self.freq, self.fallback_model
+        schema = forecast_schema(
+            df.schema[id_col], df.schema[time_col], models, level
+        )
+        cols = [id_col, time_col] + model_columns(models, level)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            last = pdf[time_col].iloc[-1]
+            future = _future_index(last, h, freq)
+            out, _ = _run_models(models, fallback, y, h, level, fitted=False)
+            data = {id_col: np.repeat(pdf[id_col].iloc[0], h), time_col: future}
+            data.update(out)
+            return pd.DataFrame(data)[cols]
+
+        return (
+            df.select(id_col, time_col, target_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+
+    # ------------------------------------------------------------------ #
+    def fitted_values(
+        self,
+        df: DataFrame,
+        level: list[int] | None = None,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+    ) -> DataFrame:
+        """In-sample one-step predictions per model
+        (reference forecast_fitted_values, core.py:1095-1120)."""
+        models, fallback = self.models, self.fallback_model
+        schema = fitted_schema(
+            df.schema[id_col], df.schema[time_col], target_col, models, level=None
+        )
+        cols = [id_col, time_col, target_col] + [repr(m) for m in models]
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            _, fit = _run_models(models, fallback, y, 1, None, fitted=True)
+            data = {
+                id_col: pdf[id_col].to_numpy(),
+                time_col: pdf[time_col].to_numpy(),
+                target_col: y,
+            }
+            for alias, vals in fit.items():
+                data[alias] = vals if vals is not None else np.full(y.size, np.nan)
+            return pd.DataFrame(data)[cols]
+
+        return (
+            df.select(id_col, time_col, target_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+
+    # ------------------------------------------------------------------ #
+    def cross_validation(
+        self,
+        df: DataFrame,
+        h: int,
+        n_windows: int = 1,
+        step_size: int = 1,
+        input_size: int | None = None,
+        level: list[int] | None = None,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+        drop_short: bool = False,
+    ) -> DataFrame:
+        """Rolling-origin backtest (reference core.py:246-383).
+
+        test_size = h + step_size·(n_windows−1) (core.py:1183); window w
+        trains on everything before cutoff_w (or the trailing ``input_size``
+        points) and scores the next h points. Series shorter than
+        test_size+1 raise (reference core.py:1205-1212) unless
+        ``drop_short=True`` drops them kernel-side.
+
+        The whole backtest loop runs inside one kernel call per series
+        (reference-shaped "Option A"): state stays local, output is the
+        exploded (id, cutoff, ds) frame sorted by [id, cutoff, ds].
+        """
+        models, freq, fallback = self.models, self.freq, self.fallback_model
+        test_size = h + step_size * (n_windows - 1)
+        schema = cv_schema(
+            df.schema[id_col], df.schema[time_col], target_col, models, level
+        )
+        cols = [id_col, time_col, "cutoff", target_col] + model_columns(models, level)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            ts = pdf[time_col].to_numpy()
+            n = y.size
+            if n <= test_size:
+                if drop_short:
+                    empty = {
+                        id_col: pdf[id_col].iloc[:0],
+                        time_col: pdf[time_col].iloc[:0],
+                        "cutoff": pdf[time_col].iloc[:0],
+                        target_col: np.empty(0, dtype=np.float64),
+                    }
+                    for c in cols[4:]:
+                        empty[c] = np.empty(0, dtype=np.float64)
+                    return pd.DataFrame(empty)[cols]
+                raise ValueError(
+                    f"series {pdf[id_col].iloc[0]!r} has {n} observations "
+                    f"<= test_size {test_size}"
+                )
+            frames = []
+            for w in range(n_windows):
+                train_end = n - test_size + w * step_size
+                lo = 0 if input_size is None else max(0, train_end - input_size)
+                y_train = y[lo:train_end]
+                out, _ = _run_models(models, fallback, y_train, h, level, fitted=False)
+                data = {
+                    id_col: np.repeat(pdf[id_col].iloc[0], h),
+                    time_col: ts[train_end : train_end + h],
+                    "cutoff": np.repeat(ts[train_end - 1], h),
+                    target_col: y[train_end : train_end + h],
+                }
+                data.update(out)
+                frames.append(pd.DataFrame(data))
+            return pd.concat(frames, ignore_index=True)[cols]
+
+        out = (
+            df.select(id_col, time_col, target_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+        return out.orderBy(id_col, "cutoff", time_col)

@@ -1,0 +1,48 @@
+from sparkts.kernels.base import Model, norm_ppf, residual_sigma  # noqa: F401
+from sparkts.kernels.basic import (  # noqa: F401
+    HistoricAverage,
+    Naive,
+    RandomWalkWithDrift,
+    SeasonalNaive,
+    SeasonalWindowAverage,
+    WindowAverage,
+)
+from sparkts.kernels.smoothing import (  # noqa: F401
+    SeasonalExponentialSmoothing,
+    SeasonalExponentialSmoothingOptimized,
+    SimpleExponentialSmoothing,
+    SimpleExponentialSmoothingOptimized,
+)
+from sparkts.kernels.constant import (  # noqa: F401
+    ConstantModel,
+    FailingModel,
+    NaNModel,
+    ZeroModel,
+)
+from sparkts.kernels.intermittent import (  # noqa: F401
+    ADIDA,
+    IMAPA,
+    TSB,
+    CrostonClassic,
+    CrostonOptimized,
+    CrostonSBA,
+)
+
+ALL_MODELS = [
+    "Naive",
+    "SeasonalNaive",
+    "HistoricAverage",
+    "RandomWalkWithDrift",
+    "WindowAverage",
+    "SeasonalWindowAverage",
+    "SimpleExponentialSmoothing",
+    "SimpleExponentialSmoothingOptimized",
+    "SeasonalExponentialSmoothing",
+    "SeasonalExponentialSmoothingOptimized",
+    "CrostonClassic",
+    "CrostonOptimized",
+    "CrostonSBA",
+    "ADIDA",
+    "IMAPA",
+    "TSB",
+]

@@ -1,0 +1,100 @@
+"""Exponential-smoothing kernels (fixed-α, optimized, seasonal variants).
+
+Semantics re-derived from the reference: SES (reference models.py:2281-2291),
+SES-optimized with golden-section α ∈ (0.01, 0.99) (models.py:2482-2493),
+per-phase seasonal SES (models.py:2679-2703) and its optimized variant
+(models.py:2911-2934). Interval formulas: sigmah = σ·√(1 + (step−1)·α²)
+(models.py:2380) and, for seasonal variants, σ·√(1 + (k−1)·α²) with
+k = ⌊(step−1)/m⌋ + 1 (models.py:2799-2806). The recurrence itself lives in
+``sparkts.kernels.scan`` as a block-vectorized numpy scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparkts.kernels.base import Model, residual_sigma
+from sparkts.kernels.basic import _tile_seasonal
+from sparkts.kernels.scan import golden_section_ses, ses_scan
+
+
+def _ses_sigmah(y, fitted_vals, alpha, h):
+    resid = y[1:] - fitted_vals[1:]
+    sigma = residual_sigma(resid, resid.size - 1)
+    steps = np.arange(1, h + 1)
+    return sigma * np.sqrt(1 + (steps - 1) * alpha**2)
+
+
+class SimpleExponentialSmoothing(Model):
+    def __init__(self, alpha: float, alias: str | None = None):
+        super().__init__(alias or "SES")
+        self.alpha = float(alpha)
+
+    def _forecast(self, y, h, fitted):
+        fitted_vals, fcst = ses_scan(y, self.alpha)
+        mean = np.full(h, fcst)
+        return mean, _ses_sigmah(y, fitted_vals, self.alpha, h), fitted_vals
+
+
+class SimpleExponentialSmoothingOptimized(Model):
+    def __init__(self, alias: str | None = None):
+        super().__init__(alias or "SESOpt")
+
+    def _forecast(self, y, h, fitted):
+        alpha = golden_section_ses(y, 0.01, 0.99)
+        fitted_vals, fcst = ses_scan(y, alpha)
+        mean = np.full(h, fcst)
+        return mean, _ses_sigmah(y, fitted_vals, alpha, h), fitted_vals
+
+
+class _SeasonalSESBase(Model):
+    """Shared per-phase machinery: phase i's subseries starts at
+    ``i + n % m`` so phases align to the series end (models.py:2693)."""
+
+    season_length: int
+
+    def _phase_alpha(self, sub: np.ndarray) -> float:
+        raise NotImplementedError
+
+    def _forecast(self, y, h, fitted):
+        m = self.season_length
+        n = y.size
+        if n < m:
+            return np.full(h, np.nan), None, np.full(n, np.nan)
+        season_vals = np.empty(m)
+        fitted_vals = np.full(n, np.nan)
+        alphas = np.empty(m)
+        for i in range(m):
+            idx0 = i + n % m
+            sub = y[idx0::m]
+            alpha = self._phase_alpha(sub)
+            alphas[i] = alpha
+            f, fc = ses_scan(sub, alpha)
+            season_vals[i] = fc
+            fitted_vals[idx0::m] = f
+        mean = _tile_seasonal(season_vals, h)
+        resid = y - fitted_vals
+        sigma = residual_sigma(resid[~np.isnan(fitted_vals)] if n else resid, max(n - m, 1))
+        steps = np.arange(1, h + 1)
+        k = (steps - 1) // m + 1
+        sigmah = sigma * np.sqrt(1 + (k - 1) * float(np.mean(alphas)) ** 2)
+        return mean, sigmah, fitted_vals
+
+
+class SeasonalExponentialSmoothing(_SeasonalSESBase):
+    def __init__(self, season_length: int, alpha: float, alias: str | None = None):
+        super().__init__(alias or "SeasonalES")
+        self.season_length = int(season_length)
+        self.alpha = float(alpha)
+
+    def _phase_alpha(self, sub):
+        return self.alpha
+
+
+class SeasonalExponentialSmoothingOptimized(_SeasonalSESBase):
+    def __init__(self, season_length: int, alias: str | None = None):
+        super().__init__(alias or "SeasESOpt")
+        self.season_length = int(season_length)
+
+    def _phase_alpha(self, sub):
+        return golden_section_ses(sub, 0.01, 0.99)

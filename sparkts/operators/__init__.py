@@ -1,0 +1,10 @@
+from sparkts.operators.rollup import (  # noqa: F401
+    TIERS,
+    bucket_ts,
+    rollup_base,
+    rollup_cascade,
+    build_tiers,
+    apply_retention,
+    crawl_activity,
+)
+from sparkts.operators.gapfill import calendar_spine, gap_fill  # noqa: F401
