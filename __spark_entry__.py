@@ -1,38 +1,601 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship rollup→gap-fill→forecast pipeline on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2), each with a DuckDB-equivalent ``oracle_sql()`` twin where the
+semantics are SQL-expressible. Column names/aliases match exactly between the
+Spark and SQL sides; float aggregates are rounded identically on both sides
+(sums of 2-decimal inputs at 4dp — provably rounding-stable; ratios at 6dp).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from sparkts.engine import SparkForecast
+from sparkts.kernels import (
+    HistoricAverage,
+    Naive,
+    RandomWalkWithDrift,
+    SeasonalNaive,
+    SimpleExponentialSmoothing,
+    WindowAverage,
+)
+from sparkts.operators import (
+    apply_retention,
+    build_tiers,
+    calendar_spine,
+    gap_fill,
+    rollup_base,
+    rollup_cascade,
+)
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _stats_r():
+    """Rounded decomposable stats, shared by the rollup queries (lazy:
+    Column construction needs an active session in PySpark 4)."""
+    return [
+        F.col("n_rows"),
+        F.round("v_sum", 4).alias("v_sum"),
+        F.round("v_min", 4).alias("v_min"),
+        F.round("v_max", 4).alias("v_max"),
+    ]
+
+
+def _dense_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → 1h tier → dense calendar spine, missing hours = 0 activity.
+
+    The panel every forecast query runs on: (unique_id=event_type, ds, y).
+    """
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    filled = gap_fill(
+        tier, ["event_type"], "bucket", value_cols=[], step_s=3600, zero_cols=["v_sum"]
+    )
+    return filled.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+    )
+
+
+# The DuckDB twin of _dense_panel, reused by every forecast oracle.
+_PANEL_CTE = """
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) lo, max(bucket) hi FROM agg GROUP BY 1),
+spine AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+),
+panel AS (
+  SELECT s.event_type AS unique_id, s.bucket AS ds, coalesce(a.v, 0.0) AS y
+  FROM spine s LEFT JOIN agg a
+    ON a.event_type = s.event_type AND a.bucket = s.bucket
+)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# time-series operator queries (events table)
+# --------------------------------------------------------------------------- #
+
+def q_rollup_1h(spark, sf_dir):
+    """Base-tier windowed aggregate (SURVEY §2.4 `_chunk_sums` as a
+    distributed time-bucket rollup)."""
+    out = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    return out.select("event_type", "bucket", *_stats_r())
+
+
+def q_rollup_5m_cascade(spark, sf_dir):
+    """Continuous-aggregate cascade 1m→5m; oracle computes 5m directly —
+    proves tier re-aggregation ≡ direct rollup."""
+    base = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1m")
+    out = rollup_cascade(base, ["event_type"], "5m")
+    return out.select("event_type", "bucket", *_stats_r())
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    """Full cascade 1m→5m→1h→1d vs direct daily rollup."""
+    tiers = build_tiers(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value")
+    return tiers["1d"].select("event_type", "bucket", *_stats_r())
+
+
+def q_retention_1h(spark, sf_dir):
+    """Retention sweep: keep only the trailing 7 days of 1h buckets."""
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    kept = apply_retention(
+        {"1h": tier}, horizons={"1h": 7 * 86400}, as_of="2024-01-31 00:00:00"
+    )["1h"]
+    return kept.select("event_type", "bucket", *_stats_r())
+
+
+def q_gapfill_ffill(spark, sf_dir):
+    """Calendar-spine densify + forward-fill (LOCF) on the 1h tier."""
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    filled = gap_fill(tier, ["event_type"], "bucket", ["v_sum"], 3600)
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.round("v_sum", 4).alias("v_ffill"),
+        F.col("is_gap"),
+    )
+
+
+def q_seasonal_lag_fitted(spark, sf_dir):
+    """SeasonalNaive in-sample fitted = lag(season) over each series
+    (reference utils.py:231-261 fitted path) on the dense 1h panel, m=24."""
+    panel = _dense_panel(spark, sf_dir)
+    w = W.partitionBy("unique_id").orderBy("ds")
+    return panel.select(
+        "unique_id",
+        "ds",
+        F.round("y", 4).alias("y"),
+        F.round(F.lag("y", 24).over(w), 4).alias("snaive_fitted"),
+    )
+
+
+def q_naive_fc(spark, sf_dir):
+    """Naive forecast h=24 through the engine (applyInPandas kernel)."""
+    sf = SparkForecast([Naive()], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=24)
+    return out.select("unique_id", "ds", F.round("Naive", 4).alias("naive_fc"))
+
+
+def q_snaive_fc(spark, sf_dir):
+    """SeasonalNaive(24) forecast h=24 (tile of the last day)."""
+    sf = SparkForecast([SeasonalNaive(24)], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=24)
+    return out.select("unique_id", "ds", F.round("SeasonalNaive", 4).alias("snaive_fc"))
+
+
+def q_hist_avg_fc(spark, sf_dir):
+    """HistoricAverage forecast h=1 (global mean per series)."""
+    sf = SparkForecast([HistoricAverage()], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=1)
+    return out.select("unique_id", "ds", F.round("HistoricAverage", 6).alias("havg_fc"))
+
+
+def q_window_avg_fc(spark, sf_dir):
+    """WindowAverage(168) forecast h=1 (trailing-week mean)."""
+    sf = SparkForecast([WindowAverage(168)], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=1)
+    return out.select("unique_id", "ds", F.round("WindowAverage", 6).alias("wavg_fc"))
+
+
+def q_rwd_fc(spark, sf_dir):
+    """RandomWalkWithDrift forecast h=12."""
+    sf = SparkForecast([RandomWalkWithDrift()], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=12)
+    return out.select("unique_id", "ds", F.round("RWD", 6).alias("rwd_fc"))
+
+
+def q_ses_fc(spark, sf_dir):
+    """SES(α=0.5) forecast h=1; oracle uses the closed-form weight sum
+    l_{n-1} = c^{n-1}·y_0 + Σ α·c^{n-i}·y_{i-1} (1-based i>1)."""
+    sf = SparkForecast([SimpleExponentialSmoothing(0.5)], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=1)
+    return out.select("unique_id", "ds", F.round("SES", 6).alias("ses_fc"))
+
+
+def q_cv_naive(spark, sf_dir):
+    """Rolling-origin cross-validation (h=24, 2 windows, step 24) with Naive
+    (reference core.py:246-383 window math)."""
+    sf = SparkForecast([Naive()], freq="h")
+    out = sf.cross_validation(_dense_panel(spark, sf_dir), h=24, n_windows=2, step_size=24)
+    return out.select(
+        "unique_id",
+        "ds",
+        "cutoff",
+        F.round("y", 4).alias("y"),
+        F.round("Naive", 4).alias("naive_cv"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# relational coverage (TPC-H-ish tables)
+# --------------------------------------------------------------------------- #
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_priority(spark, sf_dir):
+    """orders ⋈ lineitem shuffle join, revenue per priority."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_customer_nation(spark, sf_dir):
+    """customer ⋈ nation ⋈ region with broadcast dims (small sides hinted)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# text / dedup / similarity (documents + embeddings tables)
+# --------------------------------------------------------------------------- #
+
+def q_doc_stats(spark, sf_dir):
+    """Per-language text-quality stats: token count via \\S+ runs, punct count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[\.,;:!\?]", "")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(punct).alias("total_punct"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 content hash → group size + representative doc."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by word-bigram Jaccard ≥ 0.05 on a doc_id<200
+    slice (the exact-similarity baseline the MinHash path approximates)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.05)
+    )
+    return jac
+
+
+def q_cosine_similarity(spark, sf_dir):
+    """Brute-force cosine similarity of every embedding vs vec_id=0, the
+    exact ANN baseline; JVM-side F.aggregate/zip_with dot products (no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    return (
+        joined.select(F.col("vec_id"), F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.1)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# driver contract
+# --------------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → 1m..1d tiers → gap-filled 1h panel →
+    SeasonalNaive+Naive forecast with 90% intervals (sf0.001)."""
+    sf_dir = "/root/testdata/sf0.001"
+    panel = _dense_panel(spark, sf_dir)
+    sf = SparkForecast([SeasonalNaive(24), Naive()], freq="h")
+    return sf.forecast(panel, h=24, level=[90])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1h": q_rollup_1h,
+        "rollup_5m_cascade": q_rollup_5m_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "retention_1h": q_retention_1h,
+        "gapfill_ffill": q_gapfill_ffill,
+        "seasonal_lag_fitted": q_seasonal_lag_fitted,
+        "naive_fc": q_naive_fc,
+        "snaive_fc": q_snaive_fc,
+        "hist_avg_fc": q_hist_avg_fc,
+        "window_avg_fc": q_window_avg_fc,
+        "rwd_fc": q_rwd_fc,
+        "ses_fc": q_ses_fc,
+        "cv_naive": q_cv_naive,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_priority": q_revenue_by_priority,
+        "customer_nation": q_customer_nation,
+        "doc_stats": q_doc_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cosine_similarity": q_cosine_similarity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stats = (
+        "count(value) AS n_rows, round(sum(value), 4) AS v_sum, "
+        "round(min(value), 4) AS v_min, round(max(value), 4) AS v_max"
+    )
+    return {
+        "rollup_1h": f"""
+            SELECT event_type, date_trunc('hour', ts) AS bucket, {stats}
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_5m_cascade": f"""
+            SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket, {stats}
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1d_cascade": f"""
+            SELECT event_type, date_trunc('day', ts) AS bucket, {stats}
+            FROM events GROUP BY 1, 2
+        """,
+        "retention_1h": f"""
+            SELECT event_type, date_trunc('hour', ts) AS bucket, {stats}
+            FROM events GROUP BY 1, 2
+            HAVING bucket >= TIMESTAMP '2024-01-24 00:00:00'
+        """,
+        "gapfill_ffill": """
+            WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     sum(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT event_type, min(bucket) lo, max(bucket) hi FROM agg GROUP BY 1),
+            spine AS (
+              SELECT b.event_type,
+                     unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds b
+            )
+            SELECT s.event_type, s.bucket,
+                   round(last_value(a.v IGNORE NULLS) OVER (
+                     PARTITION BY s.event_type ORDER BY s.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill,
+                   a.v IS NULL AS is_gap
+            FROM spine s LEFT JOIN agg a
+              ON a.event_type = s.event_type AND a.bucket = s.bucket
+        """,
+        "seasonal_lag_fitted": f"""
+            WITH {_PANEL_CTE}
+            SELECT unique_id, ds, round(y, 4) AS y,
+                   round(lag(y, 24) OVER (PARTITION BY unique_id ORDER BY ds), 4)
+                     AS snaive_fitted
+            FROM panel
+        """,
+        "naive_fc": f"""
+            WITH {_PANEL_CTE},
+            lastv AS (
+              SELECT unique_id, max(ds) AS last_ds,
+                     arg_max(y, ds) AS last_y
+              FROM panel GROUP BY 1
+            )
+            SELECT unique_id,
+                   last_ds + to_hours(s) AS ds,
+                   round(last_y, 4) AS naive_fc
+            FROM lastv, unnest(generate_series(1, 24)) t(s)
+        """,
+        "snaive_fc": f"""
+            WITH {_PANEL_CTE},
+            lastd AS (SELECT unique_id, max(ds) AS last_ds FROM panel GROUP BY 1),
+            steps AS (
+              SELECT l.unique_id, l.last_ds, s,
+                     l.last_ds - to_hours(24 - 1 - ((s - 1) % 24)) AS src_ds
+              FROM lastd l, unnest(generate_series(1, 24)) t(s)
+            )
+            SELECT st.unique_id, st.last_ds + to_hours(st.s) AS ds,
+                   round(p.y, 4) AS snaive_fc
+            FROM steps st JOIN panel p
+              ON p.unique_id = st.unique_id AND p.ds = st.src_ds
+        """,
+        "hist_avg_fc": f"""
+            WITH {_PANEL_CTE}
+            SELECT unique_id, max(ds) + INTERVAL 1 HOUR AS ds,
+                   round(avg(y), 6) AS havg_fc
+            FROM panel GROUP BY unique_id
+        """,
+        "window_avg_fc": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds DESC) rn
+              FROM panel
+            )
+            SELECT unique_id, max(ds) + INTERVAL 1 HOUR AS ds,
+                   round(avg(y), 6) AS wavg_fc
+            FROM idx WHERE rn <= 168 GROUP BY unique_id
+        """,
+        "rwd_fc": f"""
+            WITH {_PANEL_CTE},
+            ends AS (
+              SELECT unique_id, max(ds) AS last_ds, count(*) AS n,
+                     arg_max(y, ds) AS y_last, arg_min(y, ds) AS y_first
+              FROM panel GROUP BY 1
+            )
+            SELECT unique_id, last_ds + to_hours(s) AS ds,
+                   round(y_last + (y_last - y_first) / (n - 1) * s, 6) AS rwd_fc
+            FROM ends, unnest(generate_series(1, 12)) t(s)
+        """,
+        "ses_fc": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n,
+                     max(ds) OVER (PARTITION BY unique_id) last_ds
+              FROM panel
+            )
+            SELECT unique_id, last_ds + INTERVAL 1 HOUR AS ds,
+                   round(sum(CASE WHEN rn = 1 THEN power(0.5, n - 1) * y
+                                  ELSE 0.5 * power(0.5, n - rn) * y END), 6) AS ses_fc
+            FROM idx GROUP BY unique_id, last_ds
+        """,
+        "cv_naive": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM panel
+            ),
+            cuts AS (
+              SELECT DISTINCT unique_id, n, n - 48 + w * 24 AS cut_rn
+              FROM idx, unnest(generate_series(0, 1)) t(w)
+            ),
+            cutts AS (
+              SELECT c.unique_id, c.cut_rn, i.ds AS cutoff, i.y AS fc
+              FROM cuts c JOIN idx i ON i.unique_id = c.unique_id AND i.rn = c.cut_rn
+            )
+            SELECT i.unique_id, i.ds, c.cutoff, round(i.y, 4) AS y,
+                   round(c.fc, 4) AS naive_cv
+            FROM cutts c JOIN idx i
+              ON i.unique_id = c.unique_id
+             AND i.rn > c.cut_rn AND i.rn <= c.cut_rn + 24
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "customer_nation": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "doc_stats": r"""
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS total_tokens,
+                   sum(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::BIGINT
+                     AS total_punct
+            FROM documents GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 200
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS s
+              FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.05
+        """,
+        "cosine_similarity": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            pairs AS (
+              SELECT v.vec_id,
+                     unnest(v.embedding)::DOUBLE AS x,
+                     unnest(q.qe)::DOUBLE AS qx
+              FROM embeddings v, q
+            ),
+            dots AS (
+              SELECT vec_id, sum(x * qx) AS dot,
+                     sqrt(sum(x * x)) AS nx, sqrt(sum(qx * qx)) AS nq
+              FROM pairs GROUP BY 1
+            )
+            SELECT vec_id, round(dot / (nx * nq), 6) AS cos_sim
+            FROM dots WHERE round(dot / (nx * nq), 6) >= 0.1
+        """,
+    }

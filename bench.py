@@ -1,0 +1,151 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rolled_up_points_per_sec": ...,
+   "input_rows_per_sec": ..., "cpus": ...}
+
+The north-rule headline is rolled-up points/sec across the 1m→1d retention
+tier cascade (tier output buckets per wall-second, input scanned once).
+Scaling efficiency across two parallelism levels is produced by
+BENCH/scaling.py, which shells out to this script at two core counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkts.engine import SparkForecast  # noqa: E402
+from sparkts.kernels import (  # noqa: E402
+    Naive,
+    SeasonalNaive,
+    SimpleExponentialSmoothing,
+    WindowAverage,
+)
+from sparkts.operators import build_tiers, gap_fill, rollup_base  # noqa: E402
+from sparkts.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    spark = get_spark("sparkts-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.count()  # warm the scan; session startup excluded from timings
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. north-rule headline: full 1m→5m→1h→1d cascade (+ counts force exec)
+    def run_tiers():
+        tiers = build_tiers(events, "ts", ["event_type"], "value")
+        return sum(df.count() for df in tiers.values())
+
+    n_input = events.count()
+    tier_points = timed("rollup_tiers_1m_1d", run_tiers)
+    extras["rolled_up_points"] = tier_points
+    extras["rolled_up_points_per_sec"] = round(tier_points / timings["rollup_tiers_1m_1d"], 1)
+    extras["input_rows_per_sec"] = round(n_input / timings["rollup_tiers_1m_1d"], 1)
+
+    # 2. gap-fill the 1h tier (spine + ffill + seasonal)
+    tier_1h = rollup_base(events, "ts", ["event_type"], "value", "1h")
+    timed(
+        "gapfill_1h",
+        lambda: gap_fill(
+            tier_1h, ["event_type"], "bucket", ["v_sum"], 3600, season_length=24
+        ).count(),
+    )
+
+    # 3. multi-model forecast over the dense panel
+    panel = (
+        gap_fill(tier_1h, ["event_type"], "bucket", value_cols=[], step_s=3600,
+                 zero_cols=["v_sum"])
+        .select(
+            F.col("event_type").alias("unique_id"),
+            F.col("bucket").alias("ds"),
+            F.col("v_sum").alias("y"),
+        )
+        .cache()
+    )
+    panel.count()
+    eng = SparkForecast(
+        [Naive(), SeasonalNaive(24), SimpleExponentialSmoothing(0.5), WindowAverage(168)],
+        freq="h",
+    )
+    timed("forecast_4models_h24", lambda: eng.forecast(panel, h=24).count())
+    eng_iv = SparkForecast([Naive(), SeasonalNaive(24)], freq="h")
+    timed(
+        "forecast_intervals_h24",
+        lambda: eng_iv.forecast(panel, h=24, level=[80, 95]).count(),
+    )
+
+    # 4. rolling-origin cross-validation
+    timed(
+        "cv_2windows_h24",
+        lambda: eng.cross_validation(panel, h=24, n_windows=2, step_size=24).count(),
+    )
+
+    # 5. dedup + text stats over documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "dedup_exact",
+        lambda: docs.groupBy(F.md5("text")).agg(F.count("*")).count(),
+    )
+
+    # 6. brute-force cosine similarity over embeddings
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def run_cos():
+        j = emb.crossJoin(F.broadcast(q))
+        dot = F.aggregate(
+            F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return j.select(dot.alias("d")).agg(F.sum("d")).collect()
+
+    timed("cosine_bruteforce", run_cos)
+
+    # 7. relational: TPC-H Q1-shaped aggregate
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed(
+        "pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"))
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

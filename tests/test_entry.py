@@ -1,0 +1,71 @@
+"""Driver-contract conformance: every queries() entry vs its oracle_sql() twin.
+
+Mimics the driver's check: row count, column names, and order-insensitive
+value equality between the Spark result and DuckDB running the oracle SQL on
+the same parquet tables.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(df):
+    """Sort columns by name, rows by all values, normalize cells."""
+    df = df[sorted(df.columns)]
+
+    def cell(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "∅"
+            return f"{v:.6f}"
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    got = q(spark, sf_dir).toPandas()
+    assert len(got) > 0, f"{name}: empty result"
+    if sql is None:
+        return  # rows-only check
+    exp = duck.execute(sql).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    g, e = _norm(got), _norm(exp)
+    n_bad = sum(1 for a, b in zip(g, e) if a != b)
+    assert n_bad == 0, f"{name}: {n_bad} mismatched rows; first: " + str(
+        next(((a, b) for a, b in zip(g, e) if a != b), None)
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "SeasonalNaive" in df.columns
