@@ -1,0 +1,121 @@
+"""One measured pipeline run at a fixed parallelism level.
+
+The north-star job: Common-Crawl-style pages → extraction check →
+per-domain crawl-activity series → 1m/5m/1h/1d continuous-aggregate tiers →
+retention sweep → gap-filled 1h panel → seasonal-naive forecast.
+
+Env: SPARKTS_BENCH_CPUS (cores), SPARKTS_BENCH_DATA (pages parquet path).
+Prints one JSON line with wall seconds + rolled-up points/sec. Run via
+subprocess from scaling.py so each parallelism level gets a fresh JVM —
+mirrors `spark-submit --py-files` runs at two cluster sizes (N vs 4N
+executors), which this sandbox can't spawn for real.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkts.engine import SparkForecast  # noqa: E402
+from sparkts.kernels import Naive, SeasonalNaive  # noqa: E402
+from sparkts.operators import (  # noqa: E402
+    apply_retention,
+    build_tiers,
+    crawl_activity,
+    gap_fill,
+)
+from sparkts.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARKTS_BENCH_CPUS", "32"))
+DATA = os.environ.get("SPARKTS_BENCH_DATA", "/tmp/sparkts_bench/pages.parquet")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    # split sizing: ~3 scan tasks per core so the scan parallelizes at any
+    # level (a fixed 128 MB default gives only ~11 splits on a small corpus)
+    mpb = max(_dir_bytes(DATA) // (CPUS * 3), 8 * 1024 * 1024)
+    spark = get_spark(
+        f"sparkts-scaling-{CPUS}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(mpb)},
+    )
+    pages = spark.read.parquet(DATA)
+    n_input = pages.count()  # warm FS cache/metadata; excluded from timing
+
+    t0 = time.perf_counter()
+
+    # stage 1: extraction invariant (html → text must match stored text);
+    # counts mismatches — scans html+text once, fully codegen'd.
+    from sparkts.datagen import extract_text
+
+    n_bad = (
+        extract_text(pages).where(F.col("extracted_text") != F.col("text")).count()
+    )
+
+    # stage 2: activity series + tier cascade + retention.
+    # Each tier is persisted before the next is derived — one raw scan total,
+    # mirroring the checkpointed pipeline (each tier materialized once).
+    act = crawl_activity(pages)
+    tiers = build_tiers(act, "warc_ts", ["domain"], "bytes")
+    for df in tiers.values():
+        df.persist()
+    kept = apply_retention(tiers, as_of="2026-01-15 00:00:00")
+    # one action for all tier counts (4 separate counts = 4× scheduler tax)
+    counted = None
+    for t, df in kept.items():
+        part = df.select(F.lit(t).alias("tier"))
+        counted = part if counted is None else counted.unionByName(part)
+    tier_points = {
+        r["tier"]: r["count"]
+        for r in counted.groupBy("tier").count().collect()
+    }
+
+    # stage 3: gap-filled 1h panel → per-domain forecast
+    filled = gap_fill(
+        tiers["1h"], ["domain"], "bucket", value_cols=[], step_s=3600,
+        zero_cols=["v_sum"],
+    )
+    panel = filled.select(
+        F.col("domain").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+    )
+    eng = SparkForecast([SeasonalNaive(24), Naive()], freq="h")
+    n_fc = eng.forecast(panel, h=24).count()
+
+    wall = time.perf_counter() - t0
+    total_points = sum(tier_points.values())
+    print(
+        json.dumps(
+            {
+                "cpus": CPUS,
+                "seconds": round(wall, 3),
+                "input_rows": n_input,
+                "extraction_mismatches": n_bad,
+                "tier_points": tier_points,
+                "rolled_up_points": total_points,
+                "points_per_sec": round(total_points / wall, 1),
+                "input_rows_per_sec": round(n_input / wall, 1),
+                "forecast_rows": n_fc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

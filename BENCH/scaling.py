@@ -1,0 +1,113 @@
+"""Two-parallelism-level scaling run → BENCH/BASELINE.md.
+
+The north rule requires the job at N and 4N executors with throughput scaling
+efficiency ≥ 0.8. This sandbox has one 32-core host, so the two "cluster
+sizes" are local[8] and local[32] in separate JVMs (fresh subprocess each),
+same input, same code path as a spark-submit deployment.
+
+Usage: python BENCH/scaling.py [n_rows]   (default 2,000,000 pages)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.environ.get("SPARKTS_BENCH_DATA", "/tmp/sparkts_bench/pages.parquet")
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+LEVELS = (8, 32)
+
+
+def ensure_data() -> None:
+    if os.path.exists(os.path.join(DATA, "_SUCCESS")):
+        return
+    sys.path.insert(0, REPO)
+    from sparkts.datagen import web_pages
+    from sparkts.session import get_spark
+
+    print(f"generating {N_ROWS:,} pages → {DATA} ...", file=sys.stderr)
+    spark = get_spark("bench-datagen", master="local[32]")
+    t0 = time.perf_counter()
+    web_pages(spark, N_ROWS, n_domains=1000, partitions=128).write.mode(
+        "overwrite"
+    ).parquet(DATA)
+    print(f"datagen done in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    spark.stop()
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ, SPARKTS_BENCH_CPUS=str(cpus), SPARKTS_BENCH_DATA=DATA)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "job.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+ROUNDS = int(os.environ.get("SPARKTS_BENCH_ROUNDS", "3"))
+
+
+def main() -> None:
+    ensure_data()
+    # The sandbox host's available capacity fluctuates over minutes (shared
+    # VM). Interleave the two levels and keep each level's best round — the
+    # quiet-host number is the one that reflects the code, not the neighbor.
+    rounds: list[dict[int, dict]] = []
+    for r in range(ROUNDS):
+        rnd = {}
+        for c in LEVELS:
+            rnd[c] = run_level(c)
+            print(
+                f"round {r} local[{c}]: {rnd[c]['seconds']}s "
+                f"({rnd[c]['points_per_sec']} pts/s)",
+                file=sys.stderr,
+            )
+        rounds.append(rnd)
+    results = {
+        c: min((rnd[c] for rnd in rounds), key=lambda d: d["seconds"])
+        for c in LEVELS
+    }
+    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    speedup = lo["seconds"] / hi["seconds"]
+    eff = speedup / (LEVELS[1] / LEVELS[0])
+    md = f"""# BENCH — scaling baseline (north-rule evidence)
+
+Job: pages → extraction check → per-domain 1m/5m/1h/1d tier cascade →
+retention → gap-fill → SeasonalNaive/Naive forecast (BENCH/job.py), same
+{lo['input_rows']:,}-row input at two parallelism levels, fresh JVM each
+(stand-in for N vs 4N executors; single 32-core host). Levels interleaved
+over {ROUNDS} rounds, best round per level kept (the sandbox VM's available
+capacity fluctuates 2-3× over minutes; see raw JSON for all rounds).
+
+| parallelism | wall (s) | rolled-up points | points/sec | input rows/sec |
+|---|---|---|---|---|
+| local[{LEVELS[0]}] | {lo['seconds']} | {lo['rolled_up_points']:,} | {lo['points_per_sec']:,} | {lo['input_rows_per_sec']:,} |
+| local[{LEVELS[1]}] | {hi['seconds']} | {hi['rolled_up_points']:,} | {hi['points_per_sec']:,} | {hi['input_rows_per_sec']:,} |
+
+- speedup {LEVELS[0]}→{LEVELS[1]} cores: **{speedup:.2f}×** (ideal {LEVELS[1] // LEVELS[0]}×)
+- scaling efficiency: **{eff:.2f}** (target ≥ 0.8)
+- extraction mismatches: {hi['extraction_mismatches']} (must be 0)
+- tier points: {hi['tier_points']}
+
+Raw JSON (best per level, then all rounds):
+
+```json
+{json.dumps({"best": results, "rounds": rounds}, indent=2)}
+```
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,35 +51,50 @@ VOCAB = np.array(
 _MAX_TOKENS = 300
 
 
-def _texts_from_hash(uhash: np.ndarray) -> np.ndarray:
+# fixed-width transport: every vocab word is exactly 6 ASCII chars; append the
+# separator so a row's text is the first (7·k − 1) bytes of its word block.
+_VOCAB7 = np.array([w + " " for w in VOCAB], dtype="S7")
+_GEN_CHUNK = 8192
+
+
+def _texts_from_hash(uhash: np.ndarray) -> pd.Series:
     """Vectorized text synthesis: uint64 url-hash → pseudo-text string.
 
-    n_tokens in [10, 300) (≈50–2000 chars); token j of row i is a
+    n_tokens in [10, 300) (≈69–2092 chars); token j of row i is a
     multiplicative hash of (uhash_i, j) into the 4096-word vocabulary.
-    Pure numpy — no per-row Python until the final column-wise join.
+    Zero per-row Python: token matrices are sliced into one contiguous
+    byte buffer + offsets and handed to Arrow directly.
     """
-    u = uhash.astype(np.uint64)
-    n = u.shape[0]
-    n_tok = (10 + (u % np.uint64(290))).astype(np.int64)
+    import pyarrow as pa
+
+    u_all = uhash.astype(np.uint64)
     j = np.arange(_MAX_TOKENS, dtype=np.uint64)
-    mixed = (u[:, None] ^ (j[None, :] * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
-        0xBF58476D1CE4E5B9
-    )
-    tok_ids = ((mixed >> np.uint64(24)) % np.uint64(4096)).astype(np.int64)
-    words = VOCAB[tok_ids]  # (n, MAX_TOKENS) of '<U6'
-    mask = j[None, :].astype(np.int64) < n_tok[:, None]
-    words = np.where(mask, words, "")
-    # column-wise reduction: O(MAX_TOKENS) numpy char-adds, not O(rows)
-    out = words[:, 0].astype("<U2100")
-    sep = np.where(mask[:, 1:], " ", "")
-    for col in range(1, _MAX_TOKENS):
-        out = np.char.add(np.char.add(out, sep[:, col - 1]), words[:, col])
-    return out
+    chunks = []
+    for s in range(0, u_all.shape[0], _GEN_CHUNK):
+        u = u_all[s : s + _GEN_CHUNK]
+        n = u.shape[0]
+        n_tok = (10 + (u % np.uint64(290))).astype(np.int64)
+        mixed = (u[:, None] ^ (j[None, :] * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        tok_ids = ((mixed >> np.uint64(24)) & np.uint64(4095)).astype(np.int64)
+        blocks = _VOCAB7[tok_ids].view("S1").reshape(n, _MAX_TOKENS * 7)
+        byte_len = n_tok * 7 - 1
+        mask = np.arange(_MAX_TOKENS * 7)[None, :] < byte_len[:, None]
+        data = blocks[mask].tobytes()
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(byte_len, out=offsets[1:])
+        chunks.append(
+            pa.StringArray.from_buffers(
+                n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+            )
+        )
+    return pa.chunked_array(chunks).to_pandas()
 
 
 @F.pandas_udf(T.StringType())
 def _text_udf(uhash: pd.Series) -> pd.Series:
-    return pd.Series(_texts_from_hash(uhash.to_numpy(dtype=np.int64).view(np.uint64)))
+    return _texts_from_hash(uhash.to_numpy(dtype=np.int64).view(np.uint64))
 
 
 def web_pages(

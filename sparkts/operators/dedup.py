@@ -1,0 +1,222 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers of dedup, all expressed as DataFrame ops (JVM-side, no Python in
+the hot path) so they hold up at 10^12-document scale:
+
+* exact           — content-hash groupBy (one shuffle on the hash)
+* MinHash + LSH   — shingle → K minhashes → band buckets → candidate pairs;
+                    only bucket-mates are ever compared, so cost is
+                    O(docs · K) + O(candidate pairs), never O(n²)
+* SimHash         — 64-bit signed-projection fingerprint; near-dups share
+                    16-bit chunks (banded Hamming)
+* embedding cosine— see sparkts.operators.similarity
+
+Determinism: every hash family is seeded with literal constants, so results
+are identical under any partitioning/executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokenize(text_col: str = "text") -> F.Column:
+    """Whitespace tokens (split on runs of spaces); JVM-side."""
+    return F.split(F.col(text_col), r"\s+")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each distinct text.
+
+    One shuffle on md5(text); at scale the hash groupBy benefits from
+    map-side partial aggregation (few dup groups ≫ rows).
+    """
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+    return df.join(keep.select(id_col, "n_dups"), id_col, "inner")
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 2) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    toks = df.select(id_col, tokenize(text_col).alias("w"))
+    parts = ", ".join(
+        f"w[i{'+' + str(j) if j else ''}]" for j in range(k)
+    )
+    expr = f"transform(sequence(0, size(w)-{k}), i -> concat_ws(' ', {parts}))"
+    return toks.select(id_col, F.explode(F.expr(expr)).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length n_hashes.
+
+    Hash family i = xxhash64(i, shingle) (seeded literal, deterministic).
+    Computed as n_hashes MIN aggregates over the exploded shingle relation —
+    one shuffle on id, everything codegen'd.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band bucket become candidate pairs.
+
+    (id, signature) → explode bands → groupBy (band, bucket-hash) self-join.
+    Output: (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of equal
+    signature components (the unbiased MinHash estimator).
+    """
+    n = bands * rows_per_band
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, "signature", *band_cols)
+    long = banded.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = long.alias("a")
+    b = long.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(n)
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup pairs with estimated Jaccard ≥ threshold."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    return pairs.where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of token-hash bits.
+
+    Exploded token relation + 64 conditional-sum aggregates; one shuffle.
+    """
+    toks = df.select(
+        id_col, F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("th", F.xxhash64(F.lit(7), "tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+        for i in range(64)
+    ]
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on ≥1 of four 16-bit chunks,
+    verified by exact Hamming distance ≤ max_hamming."""
+    fp = simhash(df, id_col, text_col)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned("simhash", c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

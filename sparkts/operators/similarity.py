@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* ``cosine_topk`` — exact brute force: JVM-side dot products via
+  ``zip_with``/``aggregate`` (no UDF), rank with a window. The correctness
+  baseline, and still the right choice when the query set is small enough to
+  broadcast.
+* ``lsh_ann_topk`` — random-hyperplane LSH: H seeded hyperplanes → H-bit
+  bucket key; candidates share ≥1 of B key bands; exact cosine re-rank on
+  candidates only. The 100 TB path: bucketing is one cheap narrow pass and
+  the re-rank join touches ~n/2^bits of the corpus per query.
+
+Hyperplanes are generated from a fixed seed with numpy and inlined as
+literal arrays, so results are deterministic and identical under any
+partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(c) -> F.Column:
+    return F.sqrt(_dot(c, c))
+
+
+def cosine_similarity_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs one literal query vector.
+
+    Ties broken by id (deterministic). At scale the scan is
+    embarrassingly parallel; the top-k is a single narrow window over a
+    pre-filtered candidate set — for huge corpora prefer
+    ``lsh_ann_topk`` or aggregate per-partition top-k first.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("cos_sim")
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """H-bit random-hyperplane signature as a long (H ≤ 62)."""
+    bits = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(F.col(vec_col), pc) >= 0, F.lit(2**i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any of ``n_tables``
+    LSH bucket keys with the query; exact cosine re-rank on candidates.
+
+    Recall grows with n_tables; cost per table ~ n/2^n_planes of the corpus.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(q.size, n_planes, seed + 1000 * t)
+        qkey = int(sum(2**i for i, p in enumerate(planes) if float(p @ q) >= 0))
+        hit = df.where(lsh_bucket_col(vec_col, planes) == qkey)
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.dropDuplicates([id_col])
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("cos_sim")
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 14,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs: same LSH bucket → exact cosine ≥ threshold.
+
+    One narrow bucketing pass + a bucket-local self-join (never O(n²)).
+    High thresholds are exactly the regime where hyperplane LSH recall is
+    strong (collision prob = (1 − θ/π)^n_planes).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        id_col, vec_col, lsh_bucket_col(vec_col, planes).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
+            "cos_sim"
+        ),
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,79 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash — planted-duplicate recall
+and partitioning invariance."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkts.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "under a warm sun and birds sing in the tall green trees near water"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 0/1: exact dups; 2: near dup of 0 (one word changed); 3/4: distinct
+    rows.append((0, BASE))
+    rows.append((1, BASE))
+    rows.append((2, BASE.replace("lazy", "sleepy")))
+    rows.append((3, "completely different content about spark query engines and columnar storage formats with vectorized execution pipelines"))
+    rows.append((4, "yet another unrelated document mentioning time series rollups retention tiers and gorilla compression for metrics"))
+    for i in range(5, 40):
+        rows.append((i, f"filler document number {i} with unique tail token z{i} " + " ".join(f"w{i}_{j}" for j in range(30))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, corpus):
+    kept = exact_dedup(corpus)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids  # representative = min doc_id
+    assert kept.where("doc_id = 0").first().n_dups == 2
+
+
+def test_shingles(spark, corpus):
+    sh = word_shingles(corpus.where("doc_id = 3"), k=2).collect()
+    texts = {r.shingle for r in sh}
+    assert "spark query" in texts and "query engines" in texts
+
+
+def test_minhash_recall_and_precision(spark, corpus):
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got  # exact dup found
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    # distinct docs must not pair with the dup cluster
+    assert not any((a in (0, 1, 2)) != (b in (0, 1, 2)) for a, b in got)
+
+
+def test_minhash_exact_dup_estimate(spark, corpus):
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5).toPandas()
+    est = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].est_jaccard.iloc[0]
+    assert est == 1.0  # identical text → identical signature
+
+
+def test_signature_partitioning_invariance(spark, corpus):
+    a = minhash_signatures(corpus.repartition(1)).orderBy("doc_id").toPandas()
+    b = minhash_signatures(corpus.repartition(7)).orderBy("doc_id").toPandas()
+    assert [list(x) for x in a.signature] == [list(x) for x in b.signature]
+
+
+def test_simhash_near_dup(spark, corpus):
+    fps = simhash(corpus).toPandas().set_index("doc_id").simhash
+    assert fps[0] == fps[1]  # identical docs → identical fingerprint
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=10).toPandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got
+    h01 = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].hamming.iloc[0]
+    assert h01 == 0

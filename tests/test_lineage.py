@@ -1,0 +1,103 @@
+"""Lineage/checkpoint: resume skips completed days, crash-window reconcile,
+rerun produces identical rollup hashes (idempotency)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkts.lineage import TierPipeline
+from sparkts.operators import rollup_base
+
+
+@pytest.fixture()
+def activity(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_type", "ts", F.col("value"))
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "tiers")
+
+
+def test_full_run_then_resume_noop(spark, activity, out_dir):
+    pipe = TierPipeline(spark, out_dir, ["event_type"])
+    first = pipe.run(activity, "ts", "value", run_id="r1")
+    assert all(v > 0 for v in first.values())
+    # tier content matches a direct rollup
+    direct = rollup_base(activity, "ts", ["event_type"], "value", "1h")
+    got = pipe.read_tier("1h")
+    assert got.count() == direct.count()
+    # resume with same input: nothing new
+    second = pipe.run(activity, "ts", "value", run_id="r2")
+    assert all(v == 0 for v in second.values())
+    lin = pipe.lineage.read()
+    assert lin.where(F.col("run_id") == "r2").count() == 0
+
+
+def test_incremental_backfill(spark, activity, out_dir):
+    """Feed half the days, then all days: second run adds only the new days."""
+    cut = "2024-01-15 00:00:00"
+    early = activity.where(F.col("ts") < cut)
+    pipe = TierPipeline(spark, out_dir, ["event_type"])
+    pipe.run(early, "ts", "value", run_id="r1")
+    n_days_early = pipe.lineage.read().where("stage = 'tier_1h'").count()
+    pipe2 = TierPipeline(spark, out_dir, ["event_type"])
+    pipe2.run(activity, "ts", "value", run_id="r2")
+    lin = pipe2.lineage.read()
+    n_days_all = lin.where("stage = 'tier_1h'").count()
+    assert n_days_all > n_days_early
+    # no duplicated day partitions
+    dups = (
+        lin.where("stage = 'tier_1h'")
+        .groupBy("part_id")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dups == 0
+    # NOTE: days straddling the cut get frozen at first write — callers
+    # backfill at day granularity (the cut above is day-aligned at 00:00).
+
+
+def test_crash_reconcile(spark, activity, out_dir):
+    """A day directory without a lineage row is torn out and rebuilt."""
+    pipe = TierPipeline(spark, out_dir, ["event_type"])
+    pipe.run(activity, "ts", "value", run_id="r1")
+    lin = pipe.lineage.read().where("stage = 'tier_1h'").toPandas()
+    victim = sorted(lin.part_id)[3]
+    # simulate crash: data present for a day but lineage lost for it
+    lin_keep = lin[lin.part_id != victim]
+    shutil.rmtree(pipe.lineage.path)
+    rows = [
+        {c: (int(r[c]) if c in ("watermark", "n_in", "n_out", "rollup_hash") else r[c])
+         for c in lin_keep.columns}
+        for _, r in lin_keep.iterrows()
+    ]
+    pipe.lineage.append(rows)
+    old_hash = int(lin[lin.part_id == victim].rollup_hash.iloc[0])
+    res = pipe.run(activity, "ts", "value", run_id="r2")
+    assert res["1h"] >= 1  # victim day (at least) rebuilt
+    new = pipe.lineage.read().where(
+        (F.col("stage") == "tier_1h") & (F.col("part_id") == victim)
+    ).toPandas()
+    assert len(new) == 1
+    # idempotency: rebuilt day has the identical order-insensitive hash
+    assert int(new.rollup_hash.iloc[0]) == old_hash
+
+
+def test_hash_partitioning_invariant(spark, activity, out_dir):
+    """Same day computed under different partitioning → same rollup hash."""
+    p1 = TierPipeline(spark, out_dir + "_a", ["event_type"])
+    p1.run(activity.repartition(2), "ts", "value", run_id="x")
+    p2 = TierPipeline(spark, out_dir + "_b", ["event_type"])
+    p2.run(activity.repartition(17), "ts", "value", run_id="y")
+    h1 = {
+        (r.stage, r.part_id): r.rollup_hash for r in p1.lineage.read().collect()
+    }
+    h2 = {
+        (r.stage, r.part_id): r.rollup_hash for r in p2.lineage.read().collect()
+    }
+    assert h1 == h2

@@ -1,0 +1,58 @@
+"""Text analysis operators: lang-id, token stats, quality, fingerprints."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkts.operators.text import fingerprint, lang_id, quality_score, token_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat is on the mat and the dog was in the house for a while"),
+        (1, "der Hund ist nicht in das Haus und die Katze ist mit den Kindern"),
+        (2, "el gato y el perro los dos con una casa para que los ninos"),
+        (3, "zzz qqq www 12345 67890 @@@@ ####"),
+        (4, "  The   CAT is  ON the mat  "),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_lang_id(spark, docs):
+    out = lang_id(docs).toPandas().set_index("doc_id").lang_pred
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_token_stats(spark, docs):
+    out = token_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_ws_tokens"] == 16
+    # BPE-ish splits digits and punctuation apart
+    assert out.loc[3, "n_bpe_tokens"] > out.loc[3, "n_ws_tokens"]
+
+
+def test_quality_score(spark, docs):
+    out = quality_score(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "quality_score"] > out.loc[3, "quality_score"]
+    assert 0.0 <= out.quality_score.min() and out.quality_score.max() <= 1.0
+    assert out.loc[3, "digit_ratio"] > 0.2
+
+
+def test_fingerprint_normalization(spark, docs):
+    out = fingerprint(docs).toPandas().set_index("doc_id")
+    # doc 4 is doc 0's prefix case/space-mangled — normalized fp of the
+    # shared prefix words: check md5 differs from raw md5 but is stable
+    assert out.loc[0, "fp_md5"] != out.loc[1, "fp_md5"]
+    # normalization: same text with funny spacing/case hashes equal
+    df2 = fingerprint(
+        docs.where("doc_id = 0").union(
+            docs.where("doc_id = 0").select(
+                "doc_id", F.upper(F.concat(F.lit("  "), "text", F.lit("   ")))
+            )
+        )
+    ).toPandas()
+    assert df2.fp_md5.nunique() == 1
+    assert df2.fp_xx64.nunique() == 1
