@@ -16,13 +16,22 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sparkts.engine import SparkForecast
 from sparkts.kernels import (
+    ADIDA,
+    IMAPA,
+    TSB,
+    AutoTheta,
+    CrostonClassic,
+    CrostonSBA,
     HistoricAverage,
     Naive,
     RandomWalkWithDrift,
+    SeasonalExponentialSmoothing,
     SeasonalNaive,
     SimpleExponentialSmoothing,
+    SimpleExponentialSmoothingOptimized,
     WindowAverage,
 )
+from sparkts.kernels.base import norm_ppf
 from sparkts.operators import (
     apply_retention,
     build_tiers,
@@ -31,6 +40,10 @@ from sparkts.operators import (
     rollup_base,
     rollup_cascade,
 )
+from sparkts.operators.compress import compress_tier, decompress_tier
+from sparkts.operators.dedup import minhash_dedup_pairs, simhash_near_dup_pairs
+from sparkts.operators.similarity import cosine_topk, lsh_ann_topk
+from sparkts.operators.text import fingerprint, quality_score
 
 # --------------------------------------------------------------------------- #
 # helpers
@@ -346,6 +359,172 @@ def q_cosine_similarity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------- #
+# additional operator queries (round 1b)
+# --------------------------------------------------------------------------- #
+
+def q_naive_intervals(spark, sf_dir):
+    """Naive forecast with 95% gaussian intervals — interval math
+    (sigma·z·√step) verified against a closed-form SQL oracle."""
+    sf = SparkForecast([Naive()], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=12, level=[95])
+    return out.select(
+        "unique_id",
+        "ds",
+        F.round("Naive", 4).alias("fc"),
+        F.round(F.col("Naive-lo-95"), 4).alias("lo95"),
+        F.round(F.col("Naive-hi-95"), 4).alias("hi95"),
+    )
+
+
+def q_gapfill_seasonal(spark, sf_dir):
+    """Seasonal-naive gap interpolation (m=24): a missing bucket takes the
+    last observed value at the same phase (reference utils.py:231-261)."""
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    filled = gap_fill(tier, ["event_type"], "bucket", ["v_sum"], 3600, season_length=24)
+    return filled.select(
+        "event_type", "bucket", F.round("v_sum", 4).alias("v_filled"), "is_gap"
+    )
+
+
+def q_compress_roundtrip(spark, sf_dir):
+    """Gorilla-XOR + delta-of-delta codec inside the gate: decompress(compress
+    (1h tier)) must equal the direct SQL rollup bit-for-bit."""
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    seg = compress_tier(tier, ["event_type"], "bucket", "v_sum")
+    back = decompress_tier(seg, ["event_type"], "bucket", "v_sum")
+    return back.select("event_type", "bucket", F.round("v_sum", 4).alias("v_sum"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Exact ANN baseline: top-10 by cosine vs vec_id=0. Ranked on the
+    *rounded* similarity (ties → lower id) so rank order is identical to the
+    SQL oracle to the last ulp."""
+    from pyspark.sql import Window as W2
+    from sparkts.operators.similarity import cosine_similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("embedding"), qcol), 6).alias("cos_sim"),
+    )
+    w = W2.orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+def q_quality_stats(spark, sf_dir):
+    """Text-quality features aggregated per source (same regexes in SQL)."""
+    d = quality_score(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct"),
+        F.round(F.avg("digit_ratio"), 6).alias("avg_digit"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+def q_fingerprint_md5(spark, sf_dir):
+    """Normalized-content fingerprints (case/whitespace-insensitive md5)."""
+    d = fingerprint(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fp_md5")
+
+
+# --- rows-only checks (hash/optimizer semantics not SQL-expressible) -------- #
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (64 hashes, 16 bands)."""
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3
+    ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs (hamming ≤ 8)."""
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Approximate top-10 by hyperplane LSH + exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    return lsh_ann_topk(emb, list(q), k=10, n_planes=4, n_tables=8).select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def q_intermittent_fc(spark, sf_dir):
+    """Croston/ADIDA/IMAPA/TSB on sparse per-user error counts (h=1)."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy((F.col("user_id") % 97).alias("unique_id"),
+                 F.date_trunc("day", "ts").alias("ds"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    spine = gap_fill(
+        sparse.withColumnRenamed("ds", "bucket"), ["unique_id"], "bucket",
+        value_cols=[], step_s=86400, zero_cols=["y"],
+    ).select("unique_id", F.col("bucket").alias("ds"), "y")
+    sf = SparkForecast(
+        [CrostonClassic(), CrostonSBA(), ADIDA(), IMAPA(), TSB(0.2, 0.2)],
+        freq="D",
+    )
+    out = sf.forecast(spine, h=1)
+    return out.select(
+        "unique_id",
+        "ds",
+        *[F.round(c, 6).alias(c.lower()) for c in
+          ["CrostonClassic", "CrostonSBA", "ADIDA", "IMAPA", "TSB"]],
+    )
+
+
+def q_smoothing_fc(spark, sf_dir):
+    """Optimized SES + per-phase seasonal ES (golden-section α) h=4."""
+    sf = SparkForecast(
+        [SimpleExponentialSmoothingOptimized(), SeasonalExponentialSmoothing(24, 0.3)],
+        freq="h",
+    )
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=4)
+    return out.select(
+        "unique_id", "ds",
+        F.round("SESOpt", 6).alias("ses_opt"),
+        F.round("SeasonalES", 6).alias("seasonal_es"),
+    )
+
+
+def q_theta_fc(spark, sf_dir):
+    """AutoTheta (STM/OTM/DSTM/DOTM by MSE, ACF seasonality test, classical
+    decomposition) on the daily tier, m=7, h=7."""
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1d")
+    panel = tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+    )
+    sf = SparkForecast([AutoTheta(season_length=7)], freq="D")
+    out = sf.forecast(panel, h=7)
+    return out.select("unique_id", "ds", F.round("AutoTheta", 4).alias("theta_fc"))
+
+
+def q_cv_multimodel(spark, sf_dir):
+    """Rolling-origin CV with three models at once (schema-wide kernel)."""
+    sf = SparkForecast(
+        [Naive(), SeasonalNaive(24), SimpleExponentialSmoothing(0.3)], freq="h"
+    )
+    out = sf.cross_validation(
+        _dense_panel(spark, sf_dir), h=12, n_windows=2, step_size=12
+    )
+    return out.select(
+        "unique_id", "ds", "cutoff",
+        F.round("y", 4).alias("y"),
+        F.round("Naive", 4).alias("naive"),
+        F.round("SeasonalNaive", 4).alias("snaive"),
+        F.round("SES", 6).alias("ses"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------------- #
 
@@ -380,6 +559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_similarity": q_cosine_similarity,
+        "naive_intervals": q_naive_intervals,
+        "gapfill_seasonal": q_gapfill_seasonal,
+        "compress_roundtrip": q_compress_roundtrip,
+        "cosine_topk": q_cosine_topk,
+        "quality_stats": q_quality_stats,
+        "fingerprint_md5": q_fingerprint_md5,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann": q_lsh_ann,
+        "intermittent_fc": q_intermittent_fc,
+        "smoothing_fc": q_smoothing_fc,
+        "theta_fc": q_theta_fc,
+        "cv_multimodel": q_cv_multimodel,
     }
 
 
@@ -581,6 +773,123 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.05
+        """,
+        "naive_intervals": f"""
+            WITH {_PANEL_CTE},
+            d AS (
+              SELECT unique_id, y - lag(y) OVER (PARTITION BY unique_id ORDER BY ds) AS dd
+              FROM panel
+            ),
+            sig AS (
+              SELECT unique_id, sqrt(sum(dd*dd) / (count(*))) AS sigma
+              FROM d WHERE dd IS NOT NULL GROUP BY 1
+            ),
+            lastv AS (
+              SELECT unique_id, max(ds) AS last_ds, arg_max(y, ds) AS fc
+              FROM panel GROUP BY 1
+            )
+            SELECT l.unique_id, l.last_ds + to_hours(s) AS ds,
+                   round(l.fc, 4) AS fc,
+                   round(l.fc - {norm_ppf(0.975)!r} * g.sigma * sqrt(s), 4) AS lo95,
+                   round(l.fc + {norm_ppf(0.975)!r} * g.sigma * sqrt(s), 4) AS hi95
+            FROM lastv l JOIN sig g USING (unique_id),
+                 unnest(generate_series(1, 12)) t(s)
+        """,
+        "gapfill_seasonal": """
+            WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket, sum(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT event_type, min(bucket) lo, max(bucket) hi FROM agg GROUP BY 1),
+            spine AS (
+              SELECT b.event_type,
+                     unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds b
+            ),
+            j AS (
+              SELECT s.event_type, s.bucket, a.v,
+                     (epoch(s.bucket)::BIGINT // 3600) % 24 AS phase
+              FROM spine s LEFT JOIN agg a
+                ON a.event_type = s.event_type AND a.bucket = s.bucket
+            )
+            SELECT event_type, bucket,
+                   round(coalesce(
+                     v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type, phase ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ), 4) AS v_filled,
+                   v IS NULL AS is_gap
+            FROM j
+        """,
+        "compress_roundtrip": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   round(sum(value), 4) AS v_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            pairs AS (
+              SELECT v.vec_id,
+                     unnest(v.embedding)::DOUBLE AS x,
+                     unnest(q.qe)::DOUBLE AS qx
+              FROM embeddings v, q
+            ),
+            dots AS (
+              SELECT vec_id, sum(x * qx) AS dot,
+                     sqrt(sum(x * x)) AS nx, sqrt(sum(qx * qx)) AS nq
+              FROM pairs GROUP BY 1
+            ),
+            scored AS (
+              SELECT vec_id, round(dot / (nx * nq), 6) AS cos_sim FROM dots
+            )
+            SELECT vec_id, cos_sim, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "quality_stats": r"""
+            WITH f AS (
+              SELECT source,
+                     length(text) AS n_chars,
+                     len(string_split_regex(lower(text), '\s+')) AS n_tok,
+                     round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1), 6) AS digit_ratio
+              FROM documents
+            ),
+            g AS (
+              SELECT *,
+                     round((n_chars - (n_tok - 1))::DOUBLE / greatest(n_tok, 1), 4)
+                       AS mean_word_len
+              FROM f
+            ),
+            s AS (
+              SELECT source, punct_ratio, digit_ratio,
+                     round(least(greatest(
+                       0.5
+                       + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.2 ELSE -0.2 END
+                       + CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE -0.2 END
+                       + CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE -0.2 END
+                       + CASE WHEN n_chars >= 50 AND n_chars <= 50000 THEN 0.1 ELSE -0.2 END
+                     , 0.0), 1.0), 4) AS quality_score
+              FROM g
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(avg(punct_ratio), 6) AS avg_punct,
+                   round(avg(digit_ratio), 6) AS avg_digit,
+                   round(avg(quality_score), 6) AS avg_quality
+            FROM s GROUP BY 1
+        """,
+        "fingerprint_md5": r"""
+            SELECT doc_id,
+                   md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '))
+                     AS fp_md5
+            FROM documents
         """,
         "cosine_similarity": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

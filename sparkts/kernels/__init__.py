@@ -28,7 +28,20 @@ from sparkts.kernels.intermittent import (  # noqa: F401
     CrostonSBA,
 )
 
+from sparkts.kernels.theta import (  # noqa: F401
+    AutoTheta,
+    DynamicOptimizedTheta,
+    DynamicTheta,
+    OptimizedTheta,
+    Theta,
+)
+
 ALL_MODELS = [
+    "AutoTheta",
+    "Theta",
+    "OptimizedTheta",
+    "DynamicTheta",
+    "DynamicOptimizedTheta",
     "Naive",
     "SeasonalNaive",
     "HistoricAverage",

@@ -1,0 +1,86 @@
+"""Box-constrained Nelder-Mead (shared by the Theta/ETS/CES-style kernels).
+
+Standard Nelder-Mead with coordinate clamping and the adaptive coefficients
+of Gao & Han (2012); control defaults mirror the reference engine's settings
+(reference src/theta.cpp:164-174: init_step 0.05, zero perturbation 1e-4,
+max 1000 iterations, stddev tolerance 1e-4, adaptive=True) so optimized
+kernels land in the same minima on the same objectives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+
+def nelder_mead(
+    fn: Callable[[np.ndarray], float],
+    x0: np.ndarray,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    init_step: float = 0.05,
+    zero_pert: float = 1e-4,
+    alpha: float = 1.0,
+    gamma: float = 2.0,
+    rho: float = 0.5,
+    sigma: float = 0.5,
+    max_iter: int = 1000,
+    tol_std: float = 1e-4,
+    adaptive: bool = True,
+) -> tuple[np.ndarray, float]:
+    """Minimize fn over the box [lower, upper]; returns (x_best, f_best)."""
+    x0 = np.clip(np.asarray(x0, dtype=np.float64), lower, upper)
+    n = x0.size
+    if adaptive and n > 0:
+        gamma = 1.0 + 2.0 / n
+        rho = 0.75 - 1.0 / (2 * n)
+        sigma = 1.0 - 1.0 / n
+
+    simplex = np.tile(x0, (n + 1, 1))
+    for i in range(n):
+        v = simplex[i, i]
+        v = zero_pert if v == 0 else v * (1.0 + init_step)
+        simplex[i, i] = min(max(v, lower[i]), upper[i])
+    f = np.array([fn(simplex[i]) for i in range(n + 1)])
+
+    def clamp(x):
+        return np.clip(x, lower, upper)
+
+    for _ in range(max_iter):
+        order = np.argsort(f, kind="stable")
+        best, second_worst, worst = order[0], order[-2], order[-1]
+        if np.std(f) < tol_std:
+            break
+        centroid = (simplex.sum(axis=0) - simplex[worst]) / n
+        xr = clamp(centroid + alpha * (centroid - simplex[worst]))
+        fr = fn(xr)
+        if f[best] <= fr < f[second_worst]:
+            simplex[worst], f[worst] = xr, fr
+            continue
+        if fr < f[best]:
+            xe = clamp(centroid + gamma * (xr - centroid))
+            fe = fn(xe)
+            if fe < fr:
+                simplex[worst], f[worst] = xe, fe
+            else:
+                simplex[worst], f[worst] = xr, fr
+            continue
+        # contraction
+        if fr < f[worst]:
+            xc = clamp(centroid + rho * (xr - centroid))
+        else:
+            xc = clamp(centroid + rho * (simplex[worst] - centroid))
+        fc = fn(xc)
+        if fc < min(fr, f[worst]):
+            simplex[worst], f[worst] = xc, fc
+            continue
+        # shrink toward best
+        for i in range(n + 1):
+            if i == best:
+                continue
+            simplex[i] = clamp(simplex[best] + sigma * (simplex[i] - simplex[best]))
+            f[i] = fn(simplex[i])
+
+    best = int(np.argmin(f))
+    return simplex[best].copy(), float(f[best])
