@@ -17,8 +17,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA = os.environ.get("SPARKTS_BENCH_DATA", "/tmp/sparkts_bench/pages.parquet")
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+DATA = os.environ.get(
+    "SPARKTS_BENCH_DATA", f"/tmp/sparkts_bench/pages_{N_ROWS}.parquet"
+)
 LEVELS = (8, 32)
 
 

@@ -35,6 +35,19 @@ from sparkts.kernels.theta import (  # noqa: F401
     OptimizedTheta,
     Theta,
 )
+from sparkts.kernels.ets import (  # noqa: F401
+    ETS,
+    AutoETS,
+    Holt,
+    HoltWinters,
+)
+from sparkts.kernels.arima import (  # noqa: F401
+    ARIMA,
+    AutoARIMA,
+    AutoRegressive,
+)
+from sparkts.kernels.mstl import MSTL  # noqa: F401
+from sparkts.kernels.garch import ARCH, GARCH  # noqa: F401
 
 ALL_MODELS = [
     "AutoTheta",
@@ -58,4 +71,14 @@ ALL_MODELS = [
     "ADIDA",
     "IMAPA",
     "TSB",
+    "AutoETS",
+    "ETS",
+    "Holt",
+    "HoltWinters",
+    "AutoARIMA",
+    "ARIMA",
+    "AutoRegressive",
+    "MSTL",
+    "GARCH",
+    "ARCH",
 ]

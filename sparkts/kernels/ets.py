@@ -1,0 +1,415 @@
+"""ETS (innovations state space exponential smoothing) — AutoETS, Holt,
+HoltWinters.
+
+Re-derivation of the reference's ETS stack (reference ets.py:843-1087
+``ets_f``, optimizer ets.py:423-599, C++ recursion src/ets.cpp:397-424),
+which itself mirrors R's ``ets()``. Semantics reproduced from the published
+algorithm (Hyndman, Koehler, Ord & Snyder 2008), NOT from the reference
+source:
+
+* model string "XYZ" = Error{A,M,Z} Trend{N,A,Z (+damped)} Season{N,A,M,Z};
+* one shared state recursion per (trend, season) — the R/C scheme updates
+  states from ``y`` only, so the *same* fitted trajectory serves both error
+  types and the error type only changes the likelihood:
+      lik_A = n·log Σ(y-f)²,   lik_M = n·log Σ((y-f)/f)² + 2·Σ log|f|
+* smoothing params AND initial states jointly optimized (Nelder-Mead, same
+  box bounds as R: α∈[1e-4,.9999], β∈[1e-4,α], γ∈[1e-4,1-α], φ∈[.8,.98]);
+* model selection by AICc with np = #params + #free states + 1(σ²);
+* forecast variance classes 1/2/3 for interval widths (Hyndman 2008 ch. 6).
+
+Everything is numpy per series inside ``applyInPandas`` — the state loop is
+O(n) Python over scalars, acceptable for downsampled-tier series (the 100 TB
+design downsamples BEFORE model fitting, so kernels see 10²–10⁴ points,
+never raw events).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparkts.kernels.base import Model, add_intervals
+from sparkts.kernels.optim import nelder_mead
+
+_TOL = 1e-10
+# trend / season codes
+_N, _A, _M = 0, 1, 2
+_HUGE = 1e38
+
+
+def _etscalc(y, l0, b0, s0, m, trend, season, alpha, beta, gamma, phi):
+    """Run the ETS recursion; return (f, l, b, s) where f is the one-step
+    forecast trajectory and (l, b, s) are the final states.
+
+    States update from y only (error type enters the likelihood, not the
+    trajectory) — the scheme of the published R implementation.
+    """
+    n = y.size
+    f = np.empty(n, dtype=np.float64)
+    l = float(l0)
+    b = float(b0) if trend != _N else 0.0
+    s = list(s0) if season != _N else []
+    bo_a = beta / alpha if alpha > 0 else 0.0
+    for i in range(n):
+        # one-step forecast from current states
+        if trend == _N:
+            q = l
+            phib = 0.0
+        else:
+            phib = phi * b
+            q = l + phib
+        if season == _N:
+            fi = q
+        elif season == _A:
+            fi = q + s[m - 1]
+        else:
+            fi = q * s[m - 1]
+        f[i] = fi
+        yi = y[i]
+        # de-seasonalized observation
+        if season == _N:
+            p = yi
+        elif season == _A:
+            p = yi - s[m - 1]
+        else:
+            p = _HUGE if abs(s[m - 1]) < _TOL else yi / s[m - 1]
+        lnew = q + alpha * (p - q)
+        if trend != _N:
+            b = phib + bo_a * (lnew - q)
+        if season != _N:
+            if season == _A:
+                t = yi - q
+            else:
+                t = _HUGE if abs(q) < _TOL else yi / q
+            snew = s[m - 1] + gamma * (t - s[m - 1])
+            s = [snew] + s[: m - 1]
+        l = lnew
+    return f, l, b, s
+
+
+def _lik(y, f, error):
+    """-2·(loglik up to const): n·logΣe² (+2Σlog|f| for mult. error)."""
+    n = y.size
+    if error == _A:
+        e = y - f
+        sse = float(np.dot(e, e))
+        extra = 0.0
+    else:
+        bad = np.abs(f) < _TOL
+        if bad.any():
+            return np.inf
+        e = (y - f) / f
+        sse = float(np.dot(e, e))
+        extra = 2.0 * float(np.sum(np.log(np.abs(f))))
+    if not np.isfinite(sse) or sse <= 0:
+        return np.inf if not np.isfinite(sse) else n * np.log(1e-300)
+    return n * np.log(sse) + extra
+
+
+def _init_state(y, m, trend, season):
+    """Heuristic initial states (seed only — NM optimizes them further):
+    classical-decomposition seasonal indices, then a linear fit of the first
+    10 deseasonalized points for level/trend. Mirrors the published R
+    initstate heuristic in spirit."""
+    n = y.size
+    if season != _N:
+        # centered 2xm moving average over up to 5 cycles
+        k = min(n, max(2 * m, 5 * m))
+        yy = y[:k]
+        if k >= 2 * m:
+            w = np.ones(m + 1) / m
+            w[0] = w[-1] = 0.5 / m
+            ma = np.convolve(yy, w, mode="valid")  # len k-m
+            detr = yy[m // 2 : m // 2 + ma.size]
+            if season == _A:
+                resid = detr - ma
+            else:
+                safe = np.where(np.abs(ma) < _TOL, np.nan, ma)
+                resid = detr / safe
+            idx = (np.arange(m // 2, m // 2 + ma.size)) % m
+            sidx = np.zeros(m)
+            for ph in range(m):
+                vals = resid[idx == ph]
+                vals = vals[np.isfinite(vals)]
+                sidx[ph] = np.mean(vals) if vals.size else (0.0 if season == _A else 1.0)
+        else:
+            if season == _A:
+                sidx = y[:m] - np.mean(y[:m])
+            else:
+                mu = np.mean(y[:m])
+                sidx = y[:m] / mu if abs(mu) > _TOL else np.ones(m)
+        # normalize: additive sums to 0; multiplicative sums to m
+        if season == _A:
+            sidx = sidx - sidx.mean()
+        else:
+            sidx = np.clip(sidx, 1e-4, None)
+            sidx = sidx * (m / sidx.sum())
+        # s0[0] = seasonal of time t=-1 (most recent before start): phase m-1
+        # order the deque so s[m-1] is the phase of the FIRST observation
+        s0 = [float(sidx[(-1 - j) % m]) for j in range(m)]
+        if season == _A:
+            y_sa = y - np.array([sidx[i % m] for i in range(n)])
+        else:
+            y_sa = y / np.array([sidx[i % m] for i in range(n)])
+    else:
+        s0 = []
+        y_sa = y
+    k = min(10, n)
+    t = np.arange(1.0, k + 1)
+    if k >= 2:
+        slope, intercept = np.polyfit(t, y_sa[:k], 1)
+    else:
+        slope, intercept = 0.0, float(y_sa[0])
+    l0 = float(intercept)
+    b0 = float(slope) if trend != _N else 0.0
+    if season == _M and l0 <= 0:
+        l0 = max(float(np.mean(np.abs(y_sa[:k]))), 1e-4)
+    return l0, b0, s0
+
+
+def _pack(alpha, beta, gamma, phi, l0, b0, s0, trend, season, damped):
+    x, lo, hi = [alpha], [1e-4], [0.9999]
+    if trend != _N:
+        x.append(beta), lo.append(1e-4), hi.append(0.9999)
+    if season != _N:
+        x.append(gamma), lo.append(1e-4), hi.append(0.9999)
+    if damped:
+        x.append(phi), lo.append(0.8), hi.append(0.98)
+    x.append(l0), lo.append(-1e10), hi.append(1e10)
+    if trend != _N:
+        x.append(b0), lo.append(-1e10), hi.append(1e10)
+    if season != _N:
+        for s in s0[: len(s0) - 1]:  # last index determined by normalization
+            x.append(s)
+            if season == _A:
+                lo.append(-1e10), hi.append(1e10)
+            else:
+                lo.append(1e-4), hi.append(1e4)
+    return np.array(x), np.array(lo), np.array(hi)
+
+
+def _unpack(x, m, trend, season, damped):
+    i = 0
+    alpha = x[i]; i += 1
+    beta = gamma = 0.0
+    phi = 1.0
+    if trend != _N:
+        beta = x[i]; i += 1
+    if season != _N:
+        gamma = x[i]; i += 1
+    if damped:
+        phi = x[i]; i += 1
+    l0 = x[i]; i += 1
+    b0 = 0.0
+    if trend != _N:
+        b0 = x[i]; i += 1
+    s0 = []
+    if season != _N:
+        rest = list(x[i : i + m - 1])
+        if season == _A:
+            last = -sum(rest)
+        else:
+            last = max(m - sum(rest), 1e-4)
+        s0 = rest + [last]
+    return alpha, beta, gamma, phi, l0, b0, s0
+
+
+def _admissible(alpha, beta, gamma, phi, trend, season):
+    """Usual-region parameter constraints (R 'usual' bounds)."""
+    if not (1e-4 <= alpha <= 0.9999):
+        return False
+    if trend != _N and not (1e-4 <= beta <= alpha):
+        return False
+    if season != _N and not (1e-4 <= gamma <= 1.0 - alpha):
+        return False
+    if not (0.8 <= phi <= 1.0):
+        return False
+    return True
+
+
+def _fit_one(y, m, error, trend, season, damped, maxiter=600):
+    """Optimize one ETS configuration; return dict or None if infeasible."""
+    n = y.size
+    # np = smoothing params (+phi) + free initial states + 1 for sigma^2
+    nfree = 1 + (trend != _N) + (season != _N) + damped + 1 + (trend != _N) + (season != _N) * (m - 1)
+    npars = nfree + 1
+    if n <= npars + 1:
+        return None
+    l0, b0, s0 = _init_state(y, m, trend, season)
+    alpha0, beta0, gamma0, phi0 = 0.5, 0.1, 0.05, 0.97
+    if season != _N:
+        gamma0 = min(0.05, (1 - alpha0) * 0.99)
+    x0, lo, hi = _pack(alpha0, beta0, gamma0, phi0, l0, b0, s0, trend, season, damped)
+
+    def objective(x):
+        a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)
+        if not _admissible(a, b_, g, ph, trend, season):
+            return np.inf
+        f, *_ = _etscalc(y, l_, bb, ss, m, trend, season, a, b_, g, ph)
+        return _lik(y, f, error)
+
+    xb, fb = nelder_mead(objective, x0, lo, hi, max_iter=maxiter, tol_std=1e-6)
+    if not np.isfinite(fb):
+        return None
+    a, b_, g, ph, l_, bb, ss = _unpack(xb, m, trend, season, damped)
+    f, lf, bf, sf = _etscalc(y, l_, bb, ss, m, trend, season, a, b_, g, ph)
+    lik = _lik(y, f, error)
+    aic = lik + 2 * npars
+    aicc = aic + (2 * npars * (npars + 1) / (n - npars - 1) if n - npars - 1 > 0 else np.inf)
+    bic = lik + np.log(n) * npars
+    resid = (y - f) if error == _A else (y - f) / np.where(np.abs(f) < _TOL, _TOL, f)
+    mse = float(np.mean((y - f) ** 2))
+    return {
+        "error": error, "trend": trend, "season": season, "damped": damped,
+        "alpha": a, "beta": b_, "gamma": g, "phi": ph,
+        "l": lf, "b": bf, "s": sf, "m": m,
+        "fitted": f, "lik": lik, "aic": aic, "aicc": aicc, "bic": bic,
+        "mse": mse, "sigma2": float(np.sum(resid**2) / max(n - npars + 1, 1)),
+    }
+
+
+def _ets_forecast(fit, h):
+    """h-step mean path from final states."""
+    l, b, s, m = fit["l"], fit["b"], fit["s"], fit["m"]
+    trend, season, phi = fit["trend"], fit["season"], fit["phi"]
+    out = np.empty(h)
+    phistar = 0.0
+    for i in range(1, h + 1):
+        if trend == _N:
+            q = l
+        else:
+            phistar = phistar + phi**i if fit["damped"] else float(i)
+            q = l + phistar * b
+        if season == _N:
+            out[i - 1] = q
+        else:
+            # index j with time t-j ≡ t+i (mod m) → j = (m - i mod m) mod m
+            sj = s[(m - (i % m)) % m]
+            out[i - 1] = q + sj if season == _A else q * sj
+    return out
+
+
+def _sigmah(fit, h):
+    """Forecast std errors. Class-1 (additive-error linear models) exact
+    formulas (Hyndman 2008 ch. 6); other classes approximated with the same
+    growth — matches the reference's practice of gaussian intervals from
+    model-specific variance recursions."""
+    sigma2 = fit["sigma2"]
+    alpha, beta, gamma, phi = fit["alpha"], fit["beta"], fit["gamma"], fit["phi"]
+    trend, season, m = fit["trend"], fit["season"], fit["m"]
+    damped = fit["damped"]
+    var = np.empty(h)
+    for i in range(1, h + 1):
+        if i == 1:
+            var[0] = 1.0
+            continue
+        js = np.arange(1, i)
+        cj = np.full(js.size, alpha)
+        if trend != _N:
+            if damped:
+                phij = phi * (1 - phi**js) / (1 - phi)
+            else:
+                phij = js.astype(float)
+            cj = cj + beta * phij
+        if season != _N:
+            dj = (js % m == 0).astype(float)
+            cj = cj + gamma * dj
+        var[i - 1] = 1.0 + float(np.sum(cj**2))
+    return np.sqrt(sigma2 * var)
+
+
+_ERRS = {"A": _A, "M": _M}
+_TRENDS = {"N": _N, "A": _A}
+_SEASONS = {"N": _N, "A": _A, "M": _M}
+
+
+class AutoETS(Model):
+    """ETS with AICc model selection over a spec string (reference
+    models.py:707 AutoETS; semantics per R's ets). ``model='ZZZ'`` searches
+    error {A,M} × trend {N,A[,damped]} × season {N,A,M}; restricted combos
+    (additive error with multiplicative season; multiplicative anything on
+    non-positive data) are skipped."""
+
+    def __init__(self, season_length: int = 1, model: str = "ZZZ",
+                 damped: bool | None = None, alias: str | None = None):
+        super().__init__(alias or "AutoETS")
+        self.m = max(int(season_length), 1)
+        self.model = model
+        self.damped = damped
+
+    def _candidates(self, y):
+        e_spec, t_spec, s_spec = self.model[0], self.model[1], self.model[2]
+        positive = bool(np.all(y > 0))
+        errs = [_ERRS[e_spec]] if e_spec in _ERRS else ([_A, _M] if positive else [_A])
+        trends = [_TRENDS[t_spec]] if t_spec in _TRENDS else [_N, _A]
+        if s_spec in _SEASONS:
+            seasons = [_SEASONS[s_spec]]
+        else:
+            seasons = [_N, _A, _M] if positive else [_N, _A]
+        if self.m <= 1 or y.size < 2 * self.m:
+            seasons = [s for s in seasons if s == _N] or [_N]
+        if self.damped is None:
+            dampeds = [False, True]
+        else:
+            dampeds = [bool(self.damped)]
+        for e in errs:
+            for t in trends:
+                for s in seasons:
+                    if e == _A and s == _M:
+                        continue  # restricted: numerically unstable
+                    if e == _M and s == _A:
+                        continue  # restricted (R restrict=TRUE)
+                    for d in dampeds:
+                        if d and t == _N:
+                            continue
+                        yield e, t, s, d
+
+    def _fit(self, y):
+        best = None
+        for e, t, s, d in self._candidates(y):
+            fit = _fit_one(y, self.m, e, t, s, d)
+            if fit is None:
+                continue
+            if best is None or fit["aicc"] < best["aicc"]:
+                best = fit
+        if best is None:
+            raise ValueError(f"{self.alias}: no admissible ETS model for series of length {y.size}")
+        return best
+
+    def _forecast(self, y, h, fitted):
+        fit = self._fit(y)
+        mean = _ets_forecast(fit, h)
+        sigmah = _sigmah(fit, h)
+        if fit["error"] == _M:
+            # multiplicative error: sigma2 is relative → class-2/3 variance
+            # scales with the forecast level (Hyndman 2008 ch. 6)
+            sigmah = sigmah * np.abs(mean)
+        return mean, sigmah, fit["fitted"]
+
+
+class ETS(AutoETS):
+    """Fixed-spec ETS (no Z components allowed)."""
+
+    def __init__(self, season_length: int = 1, model: str = "ANN",
+                 damped: bool = False, alias: str | None = None):
+        if "Z" in model.upper():
+            raise ValueError("ETS requires a concrete model string; use AutoETS for Z")
+        super().__init__(season_length, model.upper(), damped, alias or "ETS")
+
+
+class Holt(AutoETS):
+    """Holt's linear trend = ETS(A/M,A,N) (reference models.py:3139)."""
+
+    def __init__(self, season_length: int = 1, error_type: str = "A",
+                 alias: str | None = None):
+        super().__init__(season_length, f"{error_type}AN", damped=False,
+                         alias=alias or "Holt")
+
+
+class HoltWinters(AutoETS):
+    """Holt-Winters = ETS(A/M,A,A/M) picked by AICc over the seasonal type
+    (reference models.py:3174 uses model=(error_type,'A','Z'))."""
+
+    def __init__(self, season_length: int = 1, error_type: str = "A",
+                 alias: str | None = None):
+        super().__init__(season_length, f"{error_type}AZ", damped=False,
+                         alias=alias or "HoltWinters")

@@ -57,7 +57,21 @@ def get_spark(
     if master:
         builder = builder.master(master)
         if master.startswith("local"):
-            builder = builder.config("spark.driver.memory", os.environ.get("SPARKTS_DRIVER_MEM", "24g"))
+            # Fixed, pre-touched heap + ParallelGC. A growable G1 heap
+            # page-faults on every expansion/uncommit; under a hypervisor
+            # (this sandbox is a Firecracker microVM) those faults serialize
+            # in the kernel and high-parallelism runs spend >25% CPU in sys
+            # time — extraction at local[32] measured 3.6x SLOWER than
+            # local[8] before this, 2.4x faster after. On a real cluster the
+            # same conf goes to spark.executor.extraJavaOptions.
+            mem = os.environ.get("SPARKTS_DRIVER_MEM", "16g")
+            builder = (
+                builder.config("spark.driver.memory", mem)
+                .config(
+                    "spark.driver.extraJavaOptions",
+                    f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+                )
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,200 @@
+"""Heavy model kernels: AutoETS, MSTL, AutoARIMA, GARCH.
+
+Mirrors the reference's test strategy (reference tests/test_models.py: one
+class per model; known-good values on AirPassengers; parameter recovery on
+synthetic data; interval ordering lo95≤lo80≤hi80≤hi95)."""
+
+import numpy as np
+import pytest
+
+from sparkts.datagen import AIR_PASSENGERS
+from sparkts.kernels import (
+    ARCH,
+    ARIMA,
+    GARCH,
+    MSTL,
+    AutoARIMA,
+    AutoETS,
+    AutoRegressive,
+    Holt,
+    HoltWinters,
+    SimpleExponentialSmoothingOptimized,
+)
+from sparkts.kernels.arima import arima_fit, arima_forecast, ndiffs, nsdiffs
+from sparkts.kernels.ets import _etscalc, _fit_one
+from sparkts.kernels.mstl import mstl, stl
+
+AP = AIR_PASSENGERS
+
+
+class TestETS:
+    def test_ann_recursion_is_ses(self):
+        # ETS(A,N,N) with fixed alpha/l0 must equal the SES recurrence
+        y = np.array([10.0, 12.0, 11.0, 13.0, 12.5])
+        f, l, b, s = _etscalc(y, 10.0, 0.0, [], 1, 0, 0, 0.3, 0, 0, 1.0)
+        lvl = 10.0
+        for i, yi in enumerate(y):
+            assert f[i] == pytest.approx(lvl)
+            lvl = 0.3 * yi + 0.7 * lvl
+        assert l == pytest.approx(lvl)
+
+    def test_fit_ann_close_to_optimized_ses(self):
+        rng = np.random.RandomState(0)
+        y = 50 + np.cumsum(rng.randn(100) * 0.1)
+        fit = _fit_one(y, 1, 0, 0, 0, False)
+        ses = SimpleExponentialSmoothingOptimized()
+        r = ses.forecast(y, 1)
+        ets_fc = fit["l"]
+        assert ets_fc == pytest.approx(r["mean"][0], rel=0.02)
+
+    def test_autoets_airpassengers(self):
+        r = AutoETS(12).forecast(AP, 12, level=[80, 95], fitted=True)
+        # seasonal shape: July peak > November trough, all positive
+        assert r["mean"].min() > 350
+        assert r["mean"][6] > r["mean"][10]
+        assert np.all(r["lo-95"] <= r["lo-80"])
+        assert np.all(r["lo-80"] <= r["hi-80"])
+        assert np.all(r["hi-80"] <= r["hi-95"])
+        assert len(r["fitted"]) == len(AP)
+        # in-sample fit is tight on this canonical series
+        mape = np.nanmean(np.abs((AP[12:] - r["fitted"][12:]) / AP[12:]))
+        assert mape < 0.10
+
+    def test_holt_linear_trend(self):
+        y = 3.0 * np.arange(80) + 10
+        r = Holt().forecast(y, 5)
+        expect = 3.0 * np.arange(80, 85) + 10
+        np.testing.assert_allclose(r["mean"], expect, rtol=0.02)
+
+    def test_holtwinters_seasonal(self):
+        t = np.arange(96)
+        y = 100 + 2 * t + 20 * np.sin(2 * np.pi * t / 12)
+        r = HoltWinters(12).forecast(y, 12)
+        expect = 100 + 2 * (t[-1] + 1 + np.arange(12)) + 20 * np.sin(
+            2 * np.pi * (t[-1] + 1 + np.arange(12)) / 12)
+        np.testing.assert_allclose(r["mean"], expect, rtol=0.08, atol=8)
+
+
+class TestMSTL:
+    def test_stl_identity_and_recovery(self):
+        rng = np.random.default_rng(7)
+        t = np.arange(240)
+        trend = 0.05 * t + 10
+        seas = 3 * np.sin(2 * np.pi * t / 12)
+        y = trend + seas + rng.normal(0, 0.3, t.size)
+        d = stl(y, 12)
+        np.testing.assert_allclose(d["seasonal"] + d["trend"] + d["remainder"], y)
+        assert np.abs(d["trend"][24:-24] - trend[24:-24]).mean() < 0.2
+        assert np.abs(d["seasonal"][24:-24] - seas[24:-24]).mean() < 0.3
+
+    def test_mstl_multi_seasonal(self):
+        rng = np.random.default_rng(8)
+        t = np.arange(300)
+        s5 = 1.5 * np.sin(2 * np.pi * t / 5)
+        s12 = 3 * np.sin(2 * np.pi * t / 12)
+        y = 10 + s5 + s12 + rng.normal(0, 0.2, t.size)
+        d = mstl(y, [5, 12])
+        assert set(d["seasonals"]) == {5, 12}
+        assert np.abs(d["seasonals"][5][20:-20] - s5[20:-20]).mean() < 0.2
+
+    def test_mstl_rejects_nans(self):
+        y = np.arange(50.0)
+        y[3] = np.nan
+        with pytest.raises(ValueError):  # reference mstl.py:37-41
+            mstl(y, [12])
+
+    def test_mstl_model_forecast(self):
+        t = np.arange(240)
+        y = 0.1 * t + 5 * np.sin(2 * np.pi * t / 12) + 20
+        r = MSTL(12).forecast(y, 12, level=[90], fitted=True)
+        expect = 0.1 * (t[-1] + 1 + np.arange(12)) + 5 * np.sin(
+            2 * np.pi * (t[-1] + 1 + np.arange(12)) / 12) + 20
+        np.testing.assert_allclose(r["mean"], expect, atol=1.5)
+        assert np.all(r["lo-90"] <= r["mean"]) and np.all(r["mean"] <= r["hi-90"])
+
+
+class TestARIMA:
+    def test_ar1_recovery(self):
+        rng = np.random.default_rng(3)
+        n = 500
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 5 + 0.7 * y[t - 1] + rng.normal(0, 1)
+        fit = arima_fit(y, (1, 0, 0), include_mean=True)
+        assert fit["parts"][0][0] == pytest.approx(0.7, abs=0.05)
+        assert fit["sigma2"] == pytest.approx(1.0, abs=0.15)
+        mean, se = arima_forecast(fit, 10)
+        # converges toward the process mean 5/(1-0.7)
+        assert mean[-1] == pytest.approx(5 / 0.3, abs=1.0)
+        assert np.all(np.diff(se) >= -1e-12)  # widening intervals
+
+    def test_ma1_recovery(self):
+        rng = np.random.default_rng(4)
+        e = rng.normal(0, 1, 500)
+        y = e[1:] + 0.6 * e[:-1]
+        fit = arima_fit(y, (0, 0, 1), include_mean=True)
+        assert fit["parts"][1][0] == pytest.approx(0.6, abs=0.07)
+
+    def test_ndiffs_nsdiffs_airpassengers(self):
+        assert ndiffs(AP) == 1
+        assert nsdiffs(AP, 12) == 1
+        rng = np.random.default_rng(0)
+        assert ndiffs(rng.normal(0, 1, 200)) == 0
+
+    def test_autoarima_airpassengers(self):
+        r = AutoARIMA(12).forecast(AP, 12, level=[95], fitted=True)
+        # R's auto.arima((2,1,1)(0,1,0)[12]) forecasts ≈ [445.6, 420.4, ...]
+        assert r["mean"][0] == pytest.approx(446, abs=15)
+        assert r["mean"][6] > r["mean"][0]  # July peak
+        assert np.all(r["lo-95"] < r["mean"]) and np.all(r["mean"] < r["hi-95"])
+        assert len(r["fitted"]) == len(AP)
+
+    def test_fixed_arima_and_ar(self):
+        rng = np.random.default_rng(5)
+        y = np.cumsum(rng.normal(0.5, 1, 300))
+        r = ARIMA((1, 1, 0)).forecast(y, 5)
+        assert np.all(np.isfinite(r["mean"]))
+        r2 = AutoRegressive(2).forecast(y, 5)
+        assert np.all(np.isfinite(r2["mean"]))
+
+    def test_arima_too_short_raises(self):
+        with pytest.raises(ValueError):
+            ARIMA((5, 0, 5)).forecast(np.arange(8.0), 3)
+
+
+class TestGARCH:
+    @pytest.fixture(scope="class")
+    def garch_data(self):
+        # the reference's generator semantics (reference garch.py:10-44)
+        n, w, a, b = 600, 0.5, 0.3, 0.4
+        y = np.zeros(n)
+        s2 = np.zeros(n)
+        np.random.seed(1)
+        s2[0] = 1.0
+        y[0] = np.random.randn()
+        for k in range(1, n):
+            s2[k] = w + a * y[k - 1] ** 2 + b * s2[k - 1]
+            y[k] = np.random.randn() * np.sqrt(s2[k])
+        return y
+
+    def test_param_recovery(self, garch_data):
+        from sparkts.kernels.garch import garch_fit
+
+        mod = garch_fit(garch_data, 1, 1)
+        w, a, b = mod["coeff"]
+        assert a == pytest.approx(0.3, abs=0.12)
+        assert a + b < 1.0
+        assert w > 0
+
+    def test_forecast_deterministic(self, garch_data):
+        r1 = GARCH(1, 1).forecast(garch_data, 6, level=[95], fitted=True)
+        r2 = GARCH(1, 1).forecast(garch_data, 6, level=[95], fitted=True)
+        np.testing.assert_array_equal(r1["mean"], r2["mean"])
+        assert np.all(r1["hi-95"] >= r1["mean"])
+        assert len(r1["fitted"]) == len(garch_data)
+
+    def test_arch_is_garch_p0(self, garch_data):
+        r = ARCH(1).forecast(garch_data, 3)
+        assert np.all(np.isfinite(r["mean"]))
+        assert repr(ARCH(1)) == "ARCH(1)"
+        assert repr(GARCH(1, 1)) == "GARCH(1,1)"
