@@ -31,6 +31,7 @@ from sparkts.kernels import (
     SimpleExponentialSmoothingOptimized,
     WindowAverage,
 )
+from sparkts.kernels import ARIMA, GARCH, MSTL, AutoETS
 from sparkts.kernels.base import norm_ppf
 from sparkts.operators import (
     apply_retention,
@@ -524,6 +525,53 @@ def q_cv_multimodel(spark, sf_dir):
     )
 
 
+def _daily_panel(spark, sf_dir):
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1d")
+    return tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+    )
+
+
+def q_autoets_fc(spark, sf_dir):
+    """AutoETS (state-space exponential smoothing, AICc selection over
+    error/trend/season specs) on the daily tier, m=7. Non-SQL-expressible
+    (iterative MLE) — rows-only driver check; parity covered by
+    tests/test_models_heavy.py golden values."""
+    sf = SparkForecast([AutoETS(season_length=7)], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("AutoETS", 4).alias("ets_fc"))
+
+
+def q_mstl_fc(spark, sf_dir):
+    """MSTL decomposition forecast (loess STL per period, ETS trend
+    sub-forecaster, seasonal tiling) on the hourly tier, m=24."""
+    sf = SparkForecast([MSTL(season_length=24)], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=24)
+    return out.select("unique_id", "ds", F.round("MSTL", 4).alias("mstl_fc"))
+
+
+def q_arima_fc(spark, sf_dir):
+    """Fixed-order ARIMA(1,1,1) via CSS on the daily tier. Iterative
+    optimization — rows-only driver check."""
+    sf = SparkForecast([ARIMA(order=(1, 1, 1))], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("ARIMA", 4).alias("arima_fc"))
+
+
+def q_garch_fc(spark, sf_dir):
+    """GARCH(1,1) volatility forecast on per-event-type hourly log-returns
+    of v_sum (demeaned). Seeded simulated path per the reference's
+    semantics — deterministic, partition-independent."""
+    panel = _dense_panel(spark, sf_dir).withColumn(
+        "y", F.col("y") - F.avg("y").over(W.partitionBy("unique_id"))
+    )
+    sf = SparkForecast([GARCH(1, 1)], freq="h")
+    out = sf.forecast(panel, h=12)
+    return out.select("unique_id", "ds", F.round("GARCH(1,1)", 4).alias("garch_fc"))
+
+
 # --------------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------------- #
@@ -572,6 +620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothing_fc": q_smoothing_fc,
         "theta_fc": q_theta_fc,
         "cv_multimodel": q_cv_multimodel,
+        "autoets_fc": q_autoets_fc,
+        "mstl_fc": q_mstl_fc,
+        "arima_fc": q_arima_fc,
+        "garch_fc": q_garch_fc,
     }
 
 

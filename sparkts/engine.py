@@ -32,7 +32,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from sparkts.kernels.base import Model
-from sparkts.plans.schema import cv_schema, fitted_schema, forecast_schema, model_columns
+from sparkts.plans.schema import (
+    cv_schema,
+    fitted_schema,
+    forecast_schema,
+    model_columns,
+    simulate_schema,
+)
 
 
 def _future_index(last, h: int, freq):
@@ -149,6 +155,62 @@ class SparkForecast:
             }
             for alias, vals in fit.items():
                 data[alias] = vals if vals is not None else np.full(y.size, np.nan)
+            return pd.DataFrame(data)[cols]
+
+        return (
+            df.select(id_col, time_col, target_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+
+    # ------------------------------------------------------------------ #
+    def simulate(
+        self,
+        df: DataFrame,
+        h: int,
+        n_paths: int = 100,
+        seed: int = 0,
+        error_dist: str = "normal",
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+    ) -> DataFrame:
+        """n_paths sample trajectories per (series, model): output
+        id, ds, sample_id, <model cols> (reference core.py:1076-1093).
+
+        Determinism under ANY partitioning: each series' RNG seed is
+        crc32(f"{seed}:{id}") — a pure function of (root seed, series id),
+        unlike the reference's positional per-group seeds (core.py:972),
+        which would change with Spark's partition order.
+        """
+        import zlib
+
+        models, freq, fallback = self.models, self.freq, self.fallback_model
+        schema = simulate_schema(df.schema[id_col], df.schema[time_col], models)
+        cols = [id_col, time_col, "sample_id"] + [repr(m) for m in models]
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            uid = pdf[id_col].iloc[0]
+            s = zlib.crc32(f"{seed}:{uid}".encode()) & 0x7FFFFFFF
+            last = pdf[time_col].iloc[-1]
+            future = _future_index(last, h, freq)
+            data = {
+                id_col: np.repeat(uid, h * n_paths),
+                time_col: np.tile(np.asarray(future), n_paths),
+                "sample_id": np.repeat(np.arange(n_paths, dtype=np.int32), h),
+            }
+            for m in models:
+                try:
+                    paths = m.simulate(y, h, n_paths=n_paths, seed=s,
+                                       error_dist=error_dist)
+                except Exception:
+                    if fallback is None:
+                        raise
+                    paths = fallback.simulate(y, h, n_paths=n_paths, seed=s,
+                                              error_dist=error_dist)
+                data[repr(m)] = paths.reshape(-1)
             return pd.DataFrame(data)[cols]
 
         return (

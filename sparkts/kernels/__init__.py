@@ -1,4 +1,9 @@
-from sparkts.kernels.base import Model, norm_ppf, residual_sigma  # noqa: F401
+from sparkts.kernels.base import (  # noqa: F401
+    ConformalIntervals,
+    Model,
+    norm_ppf,
+    residual_sigma,
+)
 from sparkts.kernels.basic import (  # noqa: F401
     HistoricAverage,
     Naive,

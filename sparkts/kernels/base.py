@@ -71,18 +71,75 @@ def residual_sigma(resid: np.ndarray, dof: int) -> float:
     return float(np.sqrt(np.nansum(resid * resid) / dof))
 
 
+class ConformalIntervals:
+    """Conformal-prediction config (reference utils.py:331-357): ``h``-step
+    scores from ``n_windows`` rolling-origin backtest windows; method
+    'conformal_distribution' (quantiles over mean±score paths) or
+    'conformal_error' (mean ± score quantile)."""
+
+    def __init__(self, n_windows: int = 2, h: int = 1,
+                 method: str = "conformal_distribution"):
+        if n_windows < 2:
+            raise ValueError("n_windows must be >= 2 for conformal intervals")
+        if method not in ("conformal_distribution", "conformal_error"):
+            raise ValueError(f"unknown conformal method {method!r}")
+        self.n_windows = n_windows
+        self.h = h
+        self.method = method
+
+
+def _conformal_scores(model, y: np.ndarray, h: int, n_windows: int) -> np.ndarray:
+    """|forecast − actual| over rolling-origin windows (reference
+    models.py:188-218): window w trains on y[:n−(n_windows−w)·h] and scores
+    the next h points. Needs n > n_windows·h (reference core.py:632-653
+    validates 2h+1 samples minimum)."""
+    n = y.size
+    if n <= n_windows * h:
+        raise ValueError(
+            f"conformal intervals need > n_windows*h = {n_windows * h} "
+            f"observations, got {n}")
+    cs = np.empty((n_windows, h))
+    for w in range(n_windows):
+        cut = n - (n_windows - w) * h
+        mean = model._forecast(y[:cut].copy(), h, False)[0]
+        cs[w] = np.abs(np.asarray(mean) - y[cut : cut + h])
+    return cs
+
+
+def conformal_intervals(res: dict, cs: np.ndarray, level: list[int],
+                        method: str) -> dict:
+    """Attach lo/hi columns from conformity scores (reference
+    models.py:116-161: _conformal_distribution / _conformal_error)."""
+    mean = res["mean"]
+    if method == "conformal_distribution":
+        paths = np.vstack([mean - cs, mean + cs])  # (2·w, h)
+        for lv in sorted(level):
+            alpha_lo, alpha_hi = (100 - lv) / 200.0, 1 - (100 - lv) / 200.0
+            res[f"lo-{lv}"] = np.quantile(paths, alpha_lo, axis=0)
+            res[f"hi-{lv}"] = np.quantile(paths, alpha_hi, axis=0)
+    else:
+        for lv in sorted(level):
+            q = np.quantile(cs, lv / 100.0, axis=0)
+            res[f"lo-{lv}"] = mean - q
+            res[f"hi-{lv}"] = mean + q
+    return res
+
+
 class Model:
     """Base class: stateless per-series forecaster.
 
     Subclasses implement ``_forecast(y, h, fitted) -> (mean, sigmah, fitted_vals)``
     where ``sigmah`` is the h-vector of forecast-std-errors used for gaussian
-    intervals (or None if the model can't produce native intervals).
+    intervals (or None if the model can't produce native intervals — pass
+    ``prediction_intervals=ConformalIntervals(...)`` to get conformal ones).
     """
 
     uses_exog = False
 
-    def __init__(self, alias: str | None = None):
+    def __init__(self, alias: str | None = None,
+                 prediction_intervals: ConformalIntervals | None = None):
         self.alias = alias or type(self).__name__
+        self.prediction_intervals = prediction_intervals
 
     def __repr__(self) -> str:
         return self.alias
@@ -104,9 +161,51 @@ class Model:
         if fitted and fitted_vals is not None:
             res["fitted"] = np.asarray(fitted_vals, dtype=np.float64)
         if level:
-            if sigmah is None:
+            if self.prediction_intervals is not None:
+                cs = _conformal_scores(self, y, h, self.prediction_intervals.n_windows)
+                conformal_intervals(res, cs, level, self.prediction_intervals.method)
+            elif sigmah is None:
                 raise ValueError(
-                    f"{self.alias} has no native prediction intervals"
+                    f"{self.alias} has no native prediction intervals; pass "
+                    "prediction_intervals=ConformalIntervals(...)"
                 )
-            add_intervals(res, np.asarray(sigmah, dtype=np.float64), level)
+            else:
+                add_intervals(res, np.asarray(sigmah, dtype=np.float64), level)
         return res
+
+    def simulate(
+        self,
+        y: np.ndarray,
+        h: int,
+        n_paths: int = 100,
+        seed: int = 0,
+        error_dist: str = "normal",
+    ) -> np.ndarray:
+        """(n_paths, h) sample trajectories: mean path + errors drawn from
+        the in-sample residual distribution (reference simulation.py:106-243
+        sample_errors; normal / laplace / bootstrap). The caller supplies a
+        partition-independent seed — the engine derives it from
+        (root_seed, unique_id), deliberately NOT the reference's positional
+        scheme (core.py:972), which depends on group order."""
+        y = np.asarray(y, dtype=np.float64)
+        mean, _, fitted_vals = self._forecast(y, h, True)
+        mean = np.asarray(mean, dtype=np.float64)
+        if fitted_vals is not None:
+            resid = y - np.asarray(fitted_vals, dtype=np.float64)
+            resid = resid[np.isfinite(resid)]
+        else:
+            resid = np.empty(0)
+        if resid.size < 3:
+            resid = y - np.nanmean(y)
+        rng = np.random.default_rng(seed)
+        if error_dist == "normal":
+            scale = float(np.sqrt(np.mean(resid**2)))
+            errs = rng.normal(0.0, scale, size=(n_paths, h))
+        elif error_dist == "laplace":
+            b = float(np.mean(np.abs(resid - np.median(resid))))
+            errs = rng.laplace(0.0, max(b, 1e-12), size=(n_paths, h))
+        elif error_dist == "bootstrap":
+            errs = rng.choice(resid, size=(n_paths, h), replace=True)
+        else:
+            raise ValueError(f"unknown error_dist {error_dist!r}")
+        return mean[None, :] + errs

@@ -47,6 +47,15 @@ def fitted_schema(id_field, time_field, target_col, models, level=None) -> T.Str
     return T.StructType(fields)
 
 
+def simulate_schema(id_field, time_field, models) -> T.StructType:
+    """simulate output: id, ds, sample_id, <model cols>
+    (reference core.py:1076-1093)."""
+    fields = _base_fields(id_field, time_field)
+    fields.append(T.StructField("sample_id", T.IntegerType(), True))
+    fields += [T.StructField(repr(m), T.DoubleType(), True) for m in models]
+    return T.StructType(fields)
+
+
 def cv_schema(id_field, time_field, target_col, models, level=None) -> T.StructType:
     """cross_validation output: id, ds, cutoff, y, <model cols>
     (reference core.py:1246-1257)."""

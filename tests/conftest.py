@@ -19,3 +19,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def panel_df(spark):
+    """Hourly (unique_id, ds, y) panel from the events testdata 1h tier."""
+    from pyspark.sql import functions as F
+
+    from sparkts.operators import rollup_base
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tier = rollup_base(ev, "ts", ["event_type"], "value", "1h")
+    return tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+    )
