@@ -31,7 +31,7 @@ from sparkts.kernels import (
     SimpleExponentialSmoothingOptimized,
     WindowAverage,
 )
-from sparkts.kernels import ARIMA, GARCH, MSTL, AutoETS
+from sparkts.kernels import ARIMA, GARCH, MSTL, AutoCES, AutoETS
 from sparkts.kernels.base import norm_ppf
 from sparkts.operators import (
     apply_retention,
@@ -560,6 +560,26 @@ def q_arima_fc(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("ARIMA", 4).alias("arima_fc"))
 
 
+def q_ces_fc(spark, sf_dir):
+    """AutoCES (complex exponential smoothing, N/S/P/F season selection by
+    AICc) on the daily tier, m=7."""
+    sf = SparkForecast([AutoCES(season_length=7)], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("CES", 4).alias("ces_fc"))
+
+
+def q_simulate_paths(spark, sf_dir):
+    """Sample-path simulation: n_paths seeded trajectories per series
+    (reference core.py:1076-1093); seeds derive from (root_seed, id) so the
+    output is identical under any partitioning."""
+    sf = SparkForecast([SeasonalNaive(24)], freq="h")
+    out = sf.simulate(_dense_panel(spark, sf_dir), h=6, n_paths=3, seed=7)
+    return out.select(
+        "unique_id", "ds", "sample_id",
+        F.round("SeasonalNaive", 4).alias("sim_path"),
+    )
+
+
 def q_garch_fc(spark, sf_dir):
     """GARCH(1,1) volatility forecast on per-event-type hourly log-returns
     of v_sum (demeaned). Seeded simulated path per the reference's
@@ -624,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mstl_fc": q_mstl_fc,
         "arima_fc": q_arima_fc,
         "garch_fc": q_garch_fc,
+        "ces_fc": q_ces_fc,
+        "simulate_paths": q_simulate_paths,
     }
 
 

@@ -51,6 +51,7 @@ from sparkts.kernels.arima import (  # noqa: F401
     AutoARIMA,
     AutoRegressive,
 )
+from sparkts.kernels.ces import AutoCES  # noqa: F401
 from sparkts.kernels.mstl import MSTL  # noqa: F401
 from sparkts.kernels.garch import ARCH, GARCH  # noqa: F401
 
@@ -86,4 +87,5 @@ ALL_MODELS = [
     "MSTL",
     "GARCH",
     "ARCH",
+    "AutoCES",
 ]

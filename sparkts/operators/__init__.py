@@ -8,3 +8,7 @@ from sparkts.operators.rollup import (  # noqa: F401
     crawl_activity,
 )
 from sparkts.operators.gapfill import calendar_spine, gap_fill  # noqa: F401
+from sparkts.operators.features import (  # noqa: F401
+    mstl_decomposition,
+    split_frames,
+)

@@ -198,3 +198,48 @@ class TestGARCH:
         assert np.all(np.isfinite(r["mean"]))
         assert repr(ARCH(1)) == "ARCH(1)"
         assert repr(GARCH(1, 1)) == "GARCH(1,1)"
+
+
+class TestCES:
+    def test_autoces_airpassengers(self):
+        from sparkts.kernels import AutoCES
+
+        r = AutoCES(12).forecast(AIR_PASSENGERS, 12, level=[95], fitted=True)
+        # strong multiplicative-ish seasonality: July peak, Nov trough
+        assert r["mean"][6] > r["mean"][10]
+        assert r["mean"].min() > 350
+        mape = np.nanmean(
+            np.abs((AIR_PASSENGERS[12:] - r["fitted"][12:]) / AIR_PASSENGERS[12:]))
+        assert mape < 0.08
+        assert np.all(r["lo-95"] < r["mean"]) and np.all(r["mean"] < r["hi-95"])
+
+    def test_ces_season_selection_and_nonseasonal(self):
+        from sparkts.kernels.ces import auto_ces
+
+        rng = np.random.RandomState(2)
+        flat = 50 + rng.randn(80)
+        fit = auto_ces(flat, 12)
+        assert fit["seasontype"] in ("N", "S", "P", "F")  # selection runs
+        # m=1 forces N (reference ces.py:455-456)
+        fit2 = auto_ces(flat, 1)
+        assert fit2["seasontype"] == "N"
+        # short series forces N too
+        fit3 = auto_ces(flat[:20], 12)
+        assert fit3["seasontype"] == "N"
+
+    def test_ces_update_equations(self):
+        # one hand-computed step of the N-type recursion
+        from sparkts.kernels.ces import _CODES, _init_states, _run
+
+        y = np.array([10.0, 12.0])
+        st0 = _init_states(y, 1, _CODES["N"])
+        a0, a1 = 1.3, 1.0
+        e, f, buf, _ = _run(y, st0, 1, _CODES["N"], a0, a1, 0, 0)
+        l0, c0 = st0[0]
+        assert f[0] == pytest.approx(l0)
+        e0 = 10.0 - l0
+        l1 = l0 - (1 - a1) * c0 + (a0 - a1) * e0
+        c1 = l0 + (1 - a0) * c0 + (a0 + a1) * e0
+        assert buf[1, 0] == pytest.approx(l1)
+        assert buf[1, 1] == pytest.approx(c1)
+        assert f[1] == pytest.approx(l1)
