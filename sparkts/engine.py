@@ -50,13 +50,14 @@ def _future_index(last, h: int, freq):
     return pd.date_range(start=last + off, periods=h, freq=off)
 
 
-def _run_models(models, fallback, y, h, level, fitted):
+def _run_models(models, fallback, y, h, level, fitted, X=None, X_future=None):
     """Per-series model sweep with fallback (reference core.py:189-204)."""
     out: dict[str, np.ndarray] = {}
     fitted_out: dict[str, np.ndarray] = {}
     for m in models:
+        kw = {"X": X, "X_future": X_future} if m.uses_exog else {}
         try:
-            res = m.forecast(y, h, level=level, fitted=fitted)
+            res = m.forecast(y, h, level=level, fitted=fitted, **kw)
         except Exception:
             if fallback is None:
                 raise
@@ -102,29 +103,74 @@ class SparkForecast:
         id_col: str = "unique_id",
         time_col: str = "ds",
         target_col: str = "y",
+        X_df: DataFrame | None = None,
     ) -> DataFrame:
         """h-step-ahead forecasts: one row per (id, future step), one column
-        per model (+ lo/hi per level)."""
+        per model (+ lo/hi per level).
+
+        Exogenous regressors: every df column beyond id/time/target is exog
+        (reference core.py:630); models with ``uses_exog`` additionally need
+        ``X_df`` = (id, ds, exog...) with exactly h future rows per id
+        (reference core.py:737-751). The exog path is a co-grouped kernel —
+        Spark's ``cogroup().applyInPandas``, the same shape as the
+        reference's Fugue zip (fugue.py:25-51 _cotransform): one shuffle on
+        each side, zero joins.
+        """
         models, freq, fallback = self.models, self.freq, self.fallback_model
         schema = forecast_schema(
             df.schema[id_col], df.schema[time_col], models, level
         )
         cols = [id_col, time_col] + model_columns(models, level)
+        exog_cols = [c for c in df.columns if c not in (id_col, time_col, target_col)]
+        uses_exog = any(m.uses_exog for m in models)
+        if uses_exog and (X_df is None or not exog_cols):
+            raise ValueError(
+                "models with uses_exog need exog columns in df and an X_df "
+                "with h future rows per id")  # reference core.py:753-764
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(time_col)
-            y = pdf[target_col].to_numpy(dtype=np.float64)
-            last = pdf[time_col].iloc[-1]
-            future = _future_index(last, h, freq)
-            out, _ = _run_models(models, fallback, y, h, level, fitted=False)
-            data = {id_col: np.repeat(pdf[id_col].iloc[0], h), time_col: future}
+        if X_df is None:
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(time_col)
+                y = pdf[target_col].to_numpy(dtype=np.float64)
+                last = pdf[time_col].iloc[-1]
+                future = _future_index(last, h, freq)
+                out, _ = _run_models(models, fallback, y, h, level, fitted=False)
+                data = {id_col: np.repeat(pdf[id_col].iloc[0], h), time_col: future}
+                data.update(out)
+                return pd.DataFrame(data)[cols]
+
+            return (
+                df.select(id_col, time_col, target_col)
+                .groupBy(id_col)
+                .applyInPandas(kernel, schema)
+            )
+
+        missing = [c for c in exog_cols if c not in X_df.columns]
+        if missing:
+            raise ValueError(f"X_df is missing exog columns {missing}")
+
+        def cokernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left.sort_values(time_col)
+            right = right.sort_values(time_col)
+            y = left[target_col].to_numpy(dtype=np.float64)
+            X = left[exog_cols].to_numpy(dtype=np.float64)
+            X_future = right[exog_cols].to_numpy(dtype=np.float64)
+            future = right[time_col].to_numpy()
+            if len(future) != h:
+                raise ValueError(
+                    f"series {key[0]!r}: X_df has {len(future)} rows, "
+                    f"expected h={h}")
+            out, _ = _run_models(models, fallback, y, h, level, fitted=False,
+                                 X=X, X_future=X_future)
+            data = {id_col: np.repeat(key[0], h), time_col: future}
             data.update(out)
             return pd.DataFrame(data)[cols]
 
         return (
-            df.select(id_col, time_col, target_col)
+            df.select(id_col, time_col, target_col, *exog_cols)
             .groupBy(id_col)
-            .applyInPandas(kernel, schema)
+            .cogroup(X_df.select(id_col, time_col, *exog_cols).groupBy(id_col))
+            .applyInPandas(cokernel, schema)
         )
 
     # ------------------------------------------------------------------ #

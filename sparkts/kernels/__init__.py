@@ -52,6 +52,7 @@ from sparkts.kernels.arima import (  # noqa: F401
     AutoRegressive,
 )
 from sparkts.kernels.ces import AutoCES  # noqa: F401
+from sparkts.kernels.regression import LinearRegression  # noqa: F401
 from sparkts.kernels.mstl import MSTL  # noqa: F401
 from sparkts.kernels.garch import ARCH, GARCH  # noqa: F401
 
@@ -88,4 +89,5 @@ ALL_MODELS = [
     "GARCH",
     "ARCH",
     "AutoCES",
+    "LinearRegression",
 ]

@@ -148,15 +148,30 @@ class Model:
     def _forecast(self, y: np.ndarray, h: int, fitted: bool):
         raise NotImplementedError
 
+    # exog-aware subclass hook (only called when uses_exog=True)
+    def _forecast_exog(self, y, h, fitted, X, X_future):
+        raise NotImplementedError
+
     def forecast(
         self,
         y: np.ndarray,
         h: int,
         level: list[int] | None = None,
         fitted: bool = False,
+        X: np.ndarray | None = None,
+        X_future: np.ndarray | None = None,
     ) -> dict:
         y = np.asarray(y, dtype=np.float64)
-        mean, sigmah, fitted_vals = self._forecast(y, h, fitted or bool(level))
+        if self.uses_exog:
+            if X is None or X_future is None:
+                raise ValueError(
+                    f"{self.alias} uses exogenous regressors; pass X (train) "
+                    "and X_future (h rows)")  # reference core.py:753-764
+            mean, sigmah, fitted_vals = self._forecast_exog(
+                y, h, fitted or bool(level), np.asarray(X, dtype=np.float64),
+                np.asarray(X_future, dtype=np.float64))
+        else:
+            mean, sigmah, fitted_vals = self._forecast(y, h, fitted or bool(level))
         res = {"mean": np.asarray(mean, dtype=np.float64)}
         if fitted and fitted_vals is not None:
             res["fitted"] = np.asarray(fitted_vals, dtype=np.float64)
