@@ -4,11 +4,23 @@ The north-star job: Common-Crawl-style pages → extraction check →
 per-domain crawl-activity series → 1m/5m/1h/1d continuous-aggregate tiers →
 retention sweep → gap-filled 1h panel → seasonal-naive forecast.
 
-Env: SPARKTS_BENCH_CPUS (cores), SPARKTS_BENCH_DATA (pages parquet path).
-Prints one JSON line with wall seconds + rolled-up points/sec. Run via
-subprocess from scaling.py so each parallelism level gets a fresh JVM —
-mirrors `spark-submit --py-files` runs at two cluster sizes (N vs 4N
-executors), which this sandbox can't spawn for real.
+Scale design (what a 1000-executor run needs, applied here):
+* ONE raw scan: the extraction-invariant check rides the 1m rollup as a
+  sum-decomposable ``n_bad`` aggregate (crawl_activity_checked) instead of
+  re-reading html+text.
+* ONE action materializes the whole tier cascade + retention counts (a
+  union over the persisted tiers); the cascade shuffles are tiny, so they
+  run at 8 shuffle partitions (task-launch latency on this sandbox is
+  ~13 ms — 64-partition stages of kB-sized data are pure overhead).
+* The forecast stage restores cores*2 partitions: its cost is Python
+  kernel work, which wants one Arrow batch per core.
+
+Env: SPARKTS_BENCH_CPUS (cores), SPARKTS_BENCH_DATA (pages parquet path),
+SPARKTS_BENCH_REPS (default 3; best rep reported — the sandbox VM is
+multi-tenant and fluctuates 2-4x). Prints one JSON line. Run via subprocess
+from scaling.py so each parallelism level gets a fresh JVM — mirrors
+`spark-submit --py-files` runs at two cluster sizes (N vs 4N executors),
+which this sandbox can't spawn for real.
 """
 
 from __future__ import annotations
@@ -27,7 +39,7 @@ from sparkts.kernels import Naive, SeasonalNaive  # noqa: E402
 from sparkts.operators import (  # noqa: E402
     apply_retention,
     build_tiers,
-    crawl_activity,
+    crawl_activity_checked,
     gap_fill,
 )
 from sparkts.session import get_spark  # noqa: E402
@@ -67,38 +79,45 @@ def main() -> None:
         lambda pdf: pdf, "id long"
     ).count()
 
+    from sparkts.datagen import extract_text
+
     def run_pipeline():
         t0 = time.perf_counter()
 
-        # stage 1: extraction invariant (html → text must match stored
-        # text); counts mismatches — scans html+text once, fully codegen'd.
-        from sparkts.datagen import extract_text
-
-        n_bad = (
-            extract_text(pages)
-            .where(F.col("extracted_text") != F.col("text"))
-            .count()
+        # stage 1+2 fused: ONE raw scan → per-row extraction-mismatch flag
+        # + activity series → 1m base tier (n_bad rides the rollup).
+        checked = extract_text(pages)
+        act = crawl_activity_checked(
+            checked, F.col("extracted_text") != F.col("text")
         )
+        tiers = build_tiers(
+            act, "warc_ts", ["domain"], "bytes",
+            extra_aggs={"n_bad": F.sum("bad")},
+        )
+        base = tiers["1m"].persist()
+        base.count()  # action 1: the big scan+shuffle
 
-        # stage 2: activity series + tier cascade + retention.
-        # Each tier is persisted before the next is derived — one raw scan
-        # total, mirroring the checkpointed pipeline.
-        act = crawl_activity(pages)
-        tiers = build_tiers(act, "warc_ts", ["domain"], "bytes")
-        for df in tiers.values():
-            df.persist()
+        # cascade + retention: tiny shuffles → small static partitioning;
+        # one action materializes every tier and all counts.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for t, df in tiers.items():
+            if t != "1m":
+                df.persist()
         kept = apply_retention(tiers, as_of="2026-01-15 00:00:00")
-        # one action for all tier counts (4 separate counts = 4x scheduler tax)
         counted = None
         for t, df in kept.items():
             part = df.select(F.lit(t).alias("tier"))
             counted = part if counted is None else counted.unionByName(part)
         tier_points = {
-            r["tier"]: r["count"]
-            for r in counted.groupBy("tier").count().collect()
+            r["tier"]: r["n"]
+            for r in counted.groupBy("tier").agg(F.count("*").alias("n")).collect()
         }
+        # extraction invariant from the cached base tier (pre-retention)
+        n_bad = base.agg(F.sum("n_bad")).collect()[0][0]
 
-        # stage 3: gap-filled 1h panel → per-domain forecast
+        # stage 3: gap-filled 1h panel → per-domain forecast (Python kernel
+        # work → one Arrow batch per core)
+        spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 2))
         filled = gap_fill(
             tiers["1h"], ["domain"], "bucket", value_cols=[], step_s=3600,
             zero_cols=["v_sum"],
@@ -114,12 +133,8 @@ def main() -> None:
         wall = time.perf_counter() - t0
         for df in tiers.values():
             df.unpersist()
-        return wall, n_bad, tier_points, n_fc
+        return wall, int(n_bad), tier_points, n_fc
 
-    # The sandbox VM is multi-tenant: available CPU fluctuates 2-4x over
-    # minutes (steal time visible in vmstat). Run the identical pipeline
-    # N_REPS times in this JVM and keep the fastest — the quiet-host sample
-    # reflects the code; the others reflect the neighbors.
     reps = int(os.environ.get("SPARKTS_BENCH_REPS", "3"))
     best = None
     for _ in range(reps):

@@ -31,7 +31,15 @@ from sparkts.kernels import (
     SimpleExponentialSmoothingOptimized,
     WindowAverage,
 )
-from sparkts.kernels import ARIMA, GARCH, MSTL, AutoCES, AutoETS
+from sparkts.kernels import (
+    ARIMA,
+    GARCH,
+    MSTL,
+    AutoCES,
+    AutoETS,
+    ConformalSeasonalPool,
+    LocalLinearTrend,
+)
 from sparkts.kernels.base import norm_ppf
 from sparkts.operators import (
     apply_retention,
@@ -580,6 +588,28 @@ def q_simulate_paths(spark, sf_dir):
     )
 
 
+def q_csp_intervals(spark, sf_dir):
+    """ConformalSeasonalPool: seasonal-naive mean + pooled-conformal sample
+    quantile intervals, seeded (partition-independent)."""
+    sf = SparkForecast([ConformalSeasonalPool(24, seed=5)], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=12, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("ConformalSeasonalPool", 4).alias("csp_mean"),
+        F.round("ConformalSeasonalPool-lo-90", 4).alias("csp_lo90"),
+        F.round("ConformalSeasonalPool-hi-90", 4).alias("csp_hi90"),
+    )
+
+
+def q_ucm_fc(spark, sf_dir):
+    """Structural state-space LocalLinearTrend via Kalman MLE on the daily
+    tier."""
+    sf = SparkForecast([LocalLinearTrend()], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds",
+                      F.round("LocalLinearTrend", 4).alias("ucm_fc"))
+
+
 def q_garch_fc(spark, sf_dir):
     """GARCH(1,1) volatility forecast on per-event-type hourly log-returns
     of v_sum (demeaned). Seeded simulated path per the reference's
@@ -646,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "garch_fc": q_garch_fc,
         "ces_fc": q_ces_fc,
         "simulate_paths": q_simulate_paths,
+        "csp_intervals": q_csp_intervals,
+        "ucm_fc": q_ucm_fc,
     }
 
 

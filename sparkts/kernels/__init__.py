@@ -52,7 +52,14 @@ from sparkts.kernels.arima import (  # noqa: F401
     AutoRegressive,
 )
 from sparkts.kernels.ces import AutoCES  # noqa: F401
+from sparkts.kernels.csp import ConformalSeasonalPool  # noqa: F401
 from sparkts.kernels.regression import LinearRegression  # noqa: F401
+from sparkts.kernels.ucm import (  # noqa: F401
+    UCM,
+    LocalLevel,
+    LocalLinearTrend,
+    SmoothTrend,
+)
 from sparkts.kernels.mstl import MSTL  # noqa: F401
 from sparkts.kernels.garch import ARCH, GARCH  # noqa: F401
 
@@ -90,4 +97,9 @@ ALL_MODELS = [
     "ARCH",
     "AutoCES",
     "LinearRegression",
+    "ConformalSeasonalPool",
+    "UCM",
+    "LocalLevel",
+    "LocalLinearTrend",
+    "SmoothTrend",
 ]

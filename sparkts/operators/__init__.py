@@ -6,6 +6,7 @@ from sparkts.operators.rollup import (  # noqa: F401
     build_tiers,
     apply_retention,
     crawl_activity,
+    crawl_activity_checked,
 )
 from sparkts.operators.gapfill import calendar_spine, gap_fill  # noqa: F401
 from sparkts.operators.features import (  # noqa: F401

@@ -59,36 +59,51 @@ def rollup_base(
     key_cols: list[str],
     value_col: str,
     tier: str = "1m",
+    extra_aggs: dict[str, F.Column] | None = None,
 ) -> DataFrame:
-    """Base tier: raw rows → (keys, bucket, count/sum/min/max/sumsq)."""
+    """Base tier: raw rows → (keys, bucket, count/sum/min/max/sumsq).
+
+    ``extra_aggs`` rides extra *decomposable* aggregates (e.g. a data-quality
+    mismatch count) through the same single scan — at 100 TB the raw scan is
+    the dominant cost, so every per-row check must share it rather than
+    re-scan."""
     width = TIERS[tier]
     v = F.col(value_col).cast("double")
-    return (
-        df.groupBy(*key_cols, bucket_ts(ts_col, width).alias("bucket"))
-        .agg(
-            F.count(v).alias("n_rows"),
-            F.sum(v).alias("v_sum"),
-            F.min(v).alias("v_min"),
-            F.max(v).alias("v_max"),
-            F.sum(v * v).alias("v_sumsq"),
-        )
-    )
+    aggs = [
+        F.count(v).alias("n_rows"),
+        F.sum(v).alias("v_sum"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.sum(v * v).alias("v_sumsq"),
+    ]
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
+    return df.groupBy(*key_cols, bucket_ts(ts_col, width).alias("bucket")).agg(*aggs)
 
 
-def rollup_cascade(finer: DataFrame, key_cols: list[str], to_tier: str) -> DataFrame:
+def rollup_cascade(
+    finer: DataFrame,
+    key_cols: list[str],
+    to_tier: str,
+    extra_sum_cols: list[str] | None = None,
+) -> DataFrame:
     """Re-aggregate a finer tier into ``to_tier`` using only decomposable
     stats — the continuous-aggregate invariant (coarse == direct-from-raw is
-    tested; see tests/test_rollup.py)."""
+    tested; see tests/test_rollup.py). ``extra_sum_cols`` are summed through
+    (they must be sum-decomposable, like the extra_aggs of rollup_base)."""
     width = TIERS[to_tier]
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("v_sum").alias("v_sum"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+        F.sum("v_sumsq").alias("v_sumsq"),
+    ]
+    for name in extra_sum_cols or []:
+        aggs.append(F.sum(name).alias(name))
     return (
         finer.groupBy(*key_cols, bucket_ts("bucket", width).alias("bucket"))
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("v_sum").alias("v_sum"),
-            F.min("v_min").alias("v_min"),
-            F.max("v_max").alias("v_max"),
-            F.sum("v_sumsq").alias("v_sumsq"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -98,21 +113,24 @@ def build_tiers(
     key_cols: list[str],
     value_col: str,
     tiers: list[str] | None = None,
+    extra_aggs: dict[str, F.Column] | None = None,
 ) -> dict[str, DataFrame]:
     """Full cascade: raw → finest tier → each coarser tier from the previous.
 
     Returned DataFrames are lazy; callers persist/write per tier (the
     pipeline in ``sparkts.pipeline`` checkpoints each to parquet/Iceberg
-    with lineage so the raw scan happens once).
+    with lineage so the raw scan happens once). ``extra_aggs`` (sum-
+    decomposable) propagate through every tier.
     """
     tiers = tiers or list(TIERS)
     tiers = sorted(tiers, key=lambda t: TIERS[t])
+    extra_cols = list(extra_aggs or {})
     out: dict[str, DataFrame] = {}
-    base = rollup_base(df, ts_col, key_cols, value_col, tiers[0])
+    base = rollup_base(df, ts_col, key_cols, value_col, tiers[0], extra_aggs)
     out[tiers[0]] = base
     prev = base
     for t in tiers[1:]:
-        prev = rollup_cascade(prev, key_cols, t)
+        prev = rollup_cascade(prev, key_cols, t, extra_sum_cols=extra_cols)
         out[t] = prev
     return out
 
@@ -157,4 +175,17 @@ def crawl_activity(pages: DataFrame) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
         F.col("warc_ts"),
         F.length("html").cast("double").alias("bytes"),
+    )
+
+
+def crawl_activity_checked(pages: DataFrame, mismatch: F.Column) -> DataFrame:
+    """``crawl_activity`` + a per-row extraction-mismatch flag (``bad``),
+    so the invariant check and the base rollup share ONE raw scan — at
+    100 TB the scan dominates, so the quality check must not re-read the
+    corpus. Feed to ``build_tiers(extra_aggs={'n_bad': F.sum('bad')})``."""
+    return pages.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
+        F.col("warc_ts"),
+        F.length("html").cast("double").alias("bytes"),
+        mismatch.cast("long").alias("bad"),
     )

@@ -1,0 +1,5 @@
+from sparkts.streaming.rollup import (  # noqa: F401
+    read_tier_stream_output,
+    stream_rollup,
+    write_tier_stream,
+)

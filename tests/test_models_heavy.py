@@ -243,3 +243,68 @@ class TestCES:
         assert buf[1, 0] == pytest.approx(l1)
         assert buf[1, 1] == pytest.approx(c1)
         assert f[1] == pytest.approx(l1)
+
+
+class TestCSP:
+    def test_mean_is_seasonal_naive(self):
+        from sparkts.kernels import ConformalSeasonalPool, SeasonalNaive
+
+        r = ConformalSeasonalPool(12).forecast(AP, 12)
+        sn = SeasonalNaive(12).forecast(AP, 12)
+        np.testing.assert_allclose(r["mean"], sn["mean"])
+
+    def test_interval_ordering_and_determinism(self):
+        from sparkts.kernels import ConformalSeasonalPool
+
+        m = ConformalSeasonalPool(12, n_samples=400, seed=3)
+        r1 = m.forecast(AP, 6, level=[80, 95])
+        r2 = m.forecast(AP, 6, level=[80, 95])
+        # lo95 <= lo80 <= hi80 <= hi95 (reference tests/test_csp.py:40-46)
+        assert np.all(r1["lo-95"] <= r1["lo-80"])
+        assert np.all(r1["lo-80"] <= r1["hi-80"])
+        assert np.all(r1["hi-80"] <= r1["hi-95"])
+        np.testing.assert_array_equal(r1["lo-95"], r2["lo-95"])
+
+    def test_variant_validation(self):
+        from sparkts.kernels import ConformalSeasonalPool
+
+        with pytest.raises(ValueError):
+            ConformalSeasonalPool(12, variant="bogus")
+
+    def test_simulate_shape(self):
+        from sparkts.kernels import ConformalSeasonalPool
+
+        s = ConformalSeasonalPool(12).simulate(AP, 4, n_paths=30, seed=1)
+        assert s.shape == (30, 4)
+
+
+class TestUCM:
+    def test_local_level_flat(self):
+        from sparkts.kernels import LocalLevel
+
+        rng = np.random.default_rng(0)
+        y = 50 + rng.normal(0, 1, 120)
+        r = LocalLevel().forecast(y, 5, level=[90], fitted=True)
+        assert r["mean"][0] == pytest.approx(50, abs=1.5)
+        # flat forecast: every step equal
+        np.testing.assert_allclose(r["mean"], r["mean"][0])
+        assert np.all(np.diff(r["hi-90"] - r["lo-90"]) >= -1e-9)  # widening
+
+    def test_lltrend_extrapolates_slope(self):
+        from sparkts.kernels import LocalLinearTrend, SmoothTrend
+
+        rng = np.random.default_rng(1)
+        y = 10 + 0.5 * np.arange(150) + rng.normal(0, 1, 150)
+        for M in (LocalLinearTrend, SmoothTrend):
+            r = M().forecast(y, 6)
+            slope = np.diff(r["mean"]).mean()
+            assert slope == pytest.approx(0.5, abs=0.15)
+
+    def test_front_door_dispatch(self):
+        from sparkts.kernels import UCM, LocalLinearTrend
+
+        m = UCM("lltrend")
+        assert isinstance(m, LocalLinearTrend)
+        assert repr(m) == "UCM"
+        with pytest.raises(ValueError):
+            UCM("bogus")
