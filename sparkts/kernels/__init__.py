@@ -53,6 +53,7 @@ from sparkts.kernels.arima import (  # noqa: F401
 )
 from sparkts.kernels.ces import AutoCES  # noqa: F401
 from sparkts.kernels.csp import ConformalSeasonalPool  # noqa: F401
+from sparkts.kernels.mfles import MFLES, AutoMFLES  # noqa: F401
 from sparkts.kernels.regression import LinearRegression  # noqa: F401
 from sparkts.kernels.ucm import (  # noqa: F401
     UCM,
@@ -98,6 +99,8 @@ ALL_MODELS = [
     "AutoCES",
     "LinearRegression",
     "ConformalSeasonalPool",
+    "MFLES",
+    "AutoMFLES",
     "UCM",
     "LocalLevel",
     "LocalLinearTrend",

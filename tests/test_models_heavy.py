@@ -308,3 +308,44 @@ class TestUCM:
         assert repr(m) == "UCM"
         with pytest.raises(ValueError):
             UCM("bogus")
+
+
+class TestMFLES:
+    def test_airpassengers_fit_quality(self):
+        from sparkts.kernels import MFLES
+
+        r = MFLES(12).forecast(AP, 12, level=[90], fitted=True)
+        mape = np.nanmean(np.abs((AP - r["fitted"]) / AP))
+        assert mape < 0.05  # boosted decomposition fits this series tightly
+        assert r["mean"][6] > r["mean"][10]  # July > November
+        assert np.all(r["lo-90"] < r["hi-90"])
+
+    def test_linear_trend_extrapolation(self):
+        from sparkts.kernels import MFLES
+
+        y = 3.0 * np.arange(100) + 5
+        r = MFLES().forecast(y, 5)
+        expect = 3.0 * np.arange(100, 105) + 5
+        np.testing.assert_allclose(r["mean"], expect, rtol=0.05)
+
+    def test_short_series_naive_fallback(self):
+        from sparkts.kernels import MFLES
+
+        r = MFLES().forecast(np.array([5.0, 6.0, 7.0]), 3)
+        np.testing.assert_allclose(r["mean"], 7.0)
+
+    def test_multiplicative_positive_seasonal(self):
+        from sparkts.kernels.mfles import MFLESCore
+
+        core = MFLESCore()
+        core.fit(AP, seasonal_period=12)
+        assert core.multiplicative is True
+        assert np.all(core.predict(12) > 0)
+
+    def test_automfles_selects_config(self):
+        from sparkts.kernels import AutoMFLES
+
+        r = AutoMFLES(12, test_size=12).forecast(AP, 12, fitted=True)
+        mape = np.nanmean(np.abs((AP[12:] - r["fitted"][12:]) / AP[12:]))
+        assert mape < 0.08
+        assert np.all(np.isfinite(r["mean"]))
