@@ -54,6 +54,7 @@ from sparkts.kernels.arima import (  # noqa: F401
 from sparkts.kernels.ces import AutoCES  # noqa: F401
 from sparkts.kernels.csp import ConformalSeasonalPool  # noqa: F401
 from sparkts.kernels.mfles import MFLES, AutoMFLES  # noqa: F401
+from sparkts.kernels.tbats import TBATS, AutoTBATS  # noqa: F401
 from sparkts.kernels.regression import LinearRegression  # noqa: F401
 from sparkts.kernels.ucm import (  # noqa: F401
     UCM,
@@ -101,6 +102,8 @@ ALL_MODELS = [
     "ConformalSeasonalPool",
     "MFLES",
     "AutoMFLES",
+    "TBATS",
+    "AutoTBATS",
     "UCM",
     "LocalLevel",
     "LocalLinearTrend",

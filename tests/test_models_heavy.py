@@ -349,3 +349,39 @@ class TestMFLES:
         mape = np.nanmean(np.abs((AP[12:] - r["fitted"][12:]) / AP[12:]))
         assert mape < 0.08
         assert np.all(np.isfinite(r["mean"]))
+
+
+class TestTBATS:
+    def test_harmonic_selection(self):
+        from sparkts.kernels.tbats import find_harmonics
+
+        t = np.arange(240)
+        y = 10 + np.cos(2 * np.pi * t / 12) + 0.5 * np.sin(2 * np.pi * 2 * t / 12)
+        k = find_harmonics(y, 12)
+        assert 2 <= k <= 3  # two active harmonics
+
+    def test_autotbats_airpassengers(self):
+        from sparkts.kernels import AutoTBATS
+
+        r = AutoTBATS(12).forecast(AP, 12, level=[90], fitted=True)
+        mape = np.nanmean(np.abs((AP[24:] - r["fitted"][24:]) / AP[24:]))
+        assert mape < 0.08
+        assert r["mean"][6] > r["mean"][10]  # July > November
+        assert np.all(r["lo-90"] < r["hi-90"])
+        assert np.all(r["mean"] > 0)
+
+    def test_boxcox_roundtrip(self):
+        from sparkts.kernels.tbats import boxcox, inv_boxcox
+
+        y = np.linspace(1, 50, 20)
+        for lam in (0.0, 0.3, 1.0):
+            np.testing.assert_allclose(inv_boxcox(boxcox(y, lam), lam), y,
+                                       rtol=1e-9)
+
+    def test_trend_variant(self):
+        from sparkts.kernels import AutoTBATS
+
+        y = 5.0 + 2.0 * np.arange(80)
+        r = AutoTBATS(1, use_boxcox=False).forecast(y, 4)
+        expect = 5.0 + 2.0 * np.arange(80, 84)
+        np.testing.assert_allclose(r["mean"], expect, rtol=0.05)
