@@ -588,6 +588,43 @@ def q_simulate_paths(spark, sf_dir):
     )
 
 
+def q_mfles_fc(spark, sf_dir):
+    """MFLES gradient-boosted decomposition forecast on the daily tier."""
+    from sparkts.kernels import MFLES
+
+    sf = SparkForecast([MFLES(season_length=7)], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("MFLES", 4).alias("mfles_fc"))
+
+
+def q_tbats_fc(spark, sf_dir):
+    """AutoTBATS (trigonometric seasonal state space) on the daily tier."""
+    from sparkts.kernels import AutoTBATS
+
+    sf = SparkForecast([AutoTBATS(season_length=7)], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("AutoTBATS", 4).alias("tbats_fc"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: html as opaque binary payload → JVM-side
+    metadata sniff + mapInPandas deterministic feature decode (the real
+    decoder is stubbed per environment; plumbing is real)."""
+    from sparkts.operators import attach_media_meta, decode_features
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("media")
+    ).limit(2000)
+    meta = attach_media_meta(pages)
+    feats = decode_features(meta, fake=True, dim=8)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    ).orderBy("doc_id")
+
+
 def q_csp_intervals(spark, sf_dir):
     """ConformalSeasonalPool: seasonal-naive mean + pooled-conformal sample
     quantile intervals, seeded (partition-independent)."""
@@ -678,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simulate_paths": q_simulate_paths,
         "csp_intervals": q_csp_intervals,
         "ucm_fc": q_ucm_fc,
+        "mfles_fc": q_mfles_fc,
+        "tbats_fc": q_tbats_fc,
+        "media_features": q_media_features,
     }
 
 

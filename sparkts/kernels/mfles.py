@@ -187,6 +187,7 @@ class MFLESCore:
             multiplicative = periods is not None and y.min() > 0
         if multiplicative and y.min() <= 0:
             multiplicative = False
+        multiplicative = bool(multiplicative)
         self.multiplicative = multiplicative
         if multiplicative:
             self.mean, self.std = 0.0, 1.0

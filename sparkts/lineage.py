@@ -18,6 +18,14 @@ Design
   against completed lineage days. Day directories on disk that have NO
   lineage row are torn out first (a crash window leaves data without
   lineage, never lineage without data — lineage is committed last).
+
+Iceberg note: the north star names Iceberg tables; this container has no
+Iceberg runtime jar (offline, no spark.jars.packages), so the storage layer
+is day-partitioned parquet + the ``_lineage`` manifest — the same
+snapshot/manifest discipline expressed manually. On a cluster with
+``iceberg-spark-runtime`` on the classpath the writes become
+``writeTo(...).using("iceberg")`` and the resume anti-join reads the
+table's own snapshot metadata; nothing else changes.
 """
 
 from __future__ import annotations

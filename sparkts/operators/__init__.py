@@ -13,3 +13,9 @@ from sparkts.operators.features import (  # noqa: F401
     mstl_decomposition,
     split_frames,
 )
+from sparkts.operators.multimodal import (  # noqa: F401
+    attach_media_meta,
+    decode_features,
+    resize_images,
+    sample_frames,
+)
