@@ -13,6 +13,10 @@ from sparkts.operators.features import (  # noqa: F401
     mstl_decomposition,
     split_frames,
 )
+from sparkts.operators.skew import (  # noqa: F401
+    key_skew_profile,
+    salted_rollup_base,
+)
 from sparkts.operators.multimodal import (  # noqa: F401
     attach_media_meta,
     decode_features,
