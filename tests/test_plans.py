@@ -1,0 +1,91 @@
+"""Physical-plan discipline tests — the properties that keep this engine
+fast at 100 TB, asserted against `.explain` output so regressions that
+silently de-optimize a plan (lost pushdown, extra shuffle, second raw scan)
+fail CI:
+
+* predicate pushdown + column pruning reach the parquet scan;
+* the base rollup is scan → partial agg → ONE exchange → final agg,
+  whole-stage-codegen compiled;
+* the 1m→1d cascade reads raw data exactly once (coarser tiers re-aggregate
+  finer tiers);
+* an engine forecast adds exactly one exchange (the id partition) and runs
+  as an Arrow grouped-map kernel.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkts.engine import SparkForecast
+from sparkts.kernels import Naive, SeasonalNaive
+from sparkts.operators import build_tiers, rollup_base
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_scans(p):
+    return p.count("Location: InMemoryFileIndex")
+
+
+def n_exchanges(p):
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+class TestRollupPlan:
+    @pytest.fixture(scope="class")
+    def plan(self, events):
+        q = rollup_base(events.where(F.col("event_type") == "click"),
+                        "ts", ["event_type"], "value", "1h")
+        return plan_of(q)
+
+    def test_filter_pushed_to_scan(self, plan):
+        assert "EqualTo(event_type,click)" in plan
+
+    def test_column_pruning(self, plan):
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert read_schema.count(":") == 3  # ts, event_type, value only
+
+    def test_map_side_partial_aggregation(self, plan):
+        assert "partial_count" in plan and "partial_sum" in plan
+
+    def test_single_shuffle(self, plan):
+        assert n_exchanges(plan) == 1
+
+    def test_whole_stage_codegen(self, events):
+        q = rollup_base(events, "ts", ["event_type"], "value", "1h")
+        cg = plan_of(q, "codegen")
+        assert "WholeStageCodegen" in cg
+
+
+class TestCascadePlan:
+    def test_one_raw_scan_for_whole_cascade(self, events):
+        tiers = build_tiers(events, "ts", ["event_type"], "value")
+        p = plan_of(tiers["1d"])
+        assert n_scans(p) == 1
+        assert "Join" not in p  # pure re-aggregation
+
+
+class TestEnginePlan:
+    def test_forecast_single_extra_exchange(self, events):
+        panel = rollup_base(events, "ts", ["event_type"], "value", "1h").select(
+            F.col("event_type").alias("unique_id"),
+            F.col("bucket").alias("ds"),
+            F.col("v_sum").alias("y"),
+        )
+        fc = SparkForecast([SeasonalNaive(24), Naive()], freq="h").forecast(panel, h=4)
+        p = plan_of(fc)
+        assert "FlatMapGroupsInPandas" in p  # Arrow grouped-map kernel
+        assert n_exchanges(p) == 2  # rollup shuffle + id partition, no more
