@@ -278,6 +278,7 @@ class SparkForecast:
         time_col: str = "ds",
         target_col: str = "y",
         drop_short: bool = False,
+        refit: bool | int = True,
     ) -> DataFrame:
         """Rolling-origin backtest (reference core.py:246-383).
 
@@ -287,11 +288,27 @@ class SparkForecast:
         test_size+1 raise (reference core.py:1205-1212) unless
         ``drop_short=True`` drops them kernel-side.
 
+        ``refit``: True refits every window; False fits parameters once on
+        the first window and re-applies them via each model's ``forward``;
+        an int k refits every k-th window (reference core.py:322-354).
+        Parameterized models without a forward implementation raise
+        (reference validation core.py:1188-1200) — at plan time, not in
+        the workers.
+
         The whole backtest loop runs inside one kernel call per series
         (reference-shaped "Option A"): state stays local, output is the
         exploded (id, cutoff, ds) frame sorted by [id, cutoff, ds].
         """
         models, freq, fallback = self.models, self.freq, self.fallback_model
+        if refit is not True:
+            if isinstance(refit, int) and not isinstance(refit, bool) and refit < 1:
+                raise ValueError("refit must be True, False, or a positive int")
+            missing = [repr(m) for m in models
+                       if m.tunable and type(m).forward is Model.forward]
+            if missing:
+                raise ValueError(
+                    f"refit={refit} needs a forward implementation for: "
+                    f"{missing}")  # reference core.py:1188-1200
         test_size = h + step_size * (n_windows - 1)
         schema = cv_schema(
             df.schema[id_col], df.schema[time_col], target_col, models, level
@@ -319,11 +336,36 @@ class SparkForecast:
                     f"<= test_size {test_size}"
                 )
             frames = []
+            states: dict[str, object] = {}
             for w in range(n_windows):
                 train_end = n - test_size + w * step_size
                 lo = 0 if input_size is None else max(0, train_end - input_size)
                 y_train = y[lo:train_end]
-                out, _ = _run_models(models, fallback, y_train, h, level, fitted=False)
+                if refit is True:
+                    out, _ = _run_models(models, fallback, y_train, h, level,
+                                         fitted=False)
+                else:
+                    k = refit if isinstance(refit, int) and refit is not True else 0
+                    do_fit = w == 0 or (k and w % k == 0)
+                    out = {}
+                    for m in models:
+                        alias = repr(m)
+                        try:
+                            if do_fit or alias not in states:
+                                states[alias] = m.fit_state(y_train)
+                            res = m.forward(states[alias], y_train, h,
+                                            level=level, fitted=False)
+                        except NotImplementedError:
+                            raise
+                        except Exception:
+                            if fallback is None:
+                                raise
+                            res = fallback.forecast(y_train, h, level=level,
+                                                    fitted=False)
+                        out[alias] = res["mean"]
+                        for lv in sorted(level or []):
+                            out[f"{alias}-lo-{lv}"] = res[f"lo-{lv}"]
+                            out[f"{alias}-hi-{lv}"] = res[f"hi-{lv}"]
                 data = {
                     id_col: np.repeat(pdf[id_col].iloc[0], h),
                     time_col: ts[train_end : train_end + h],

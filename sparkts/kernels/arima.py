@@ -413,8 +413,46 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
 # Model classes
 # ---------------------------------------------------------------------------
 
+def arima_forward(state: dict, y: np.ndarray) -> dict:
+    """Re-apply a fitted ARIMA's coefficients to new data (the reference's
+    forward semantics): same orders, same ar/ma/mu — only the residual path
+    and final states are recomputed on the new series."""
+    y = np.asarray(y, dtype=np.float64)
+    p, d, q = state["order"]
+    P, D, Q = state["seasonal"]
+    m = state["m"]
+    z = _difference(y, d, D, m)
+    ar = state.get("ar", np.array([1.0]))
+    ma = state.get("ma", np.array([1.0]))
+    mu = state["mu"]
+    e = _css_resid(z - mu, ar, ma)
+    nu = max(e.size, 1)
+    fit = dict(state)
+    fit.update({"y": y, "z": z, "resid": e,
+                "sigma2": float(np.dot(e, e)) / nu,
+                "resid_start": z.size - e.size})
+    return fit
+
+
 class ARIMA(Model):
     """Fixed-order seasonal ARIMA (reference models.py:1923)."""
+
+    tunable = True
+
+    def fit_state(self, y):
+        return self._fit(np.asarray(y, dtype=np.float64))
+
+    def forward(self, state, y, h, level=None, fitted=False):
+        fit = arima_forward(state, y)
+        mean, se = arima_forecast(fit, h)
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = arima_fitted(fit)
+        if level:
+            from sparkts.kernels.base import add_intervals
+
+            add_intervals(res, se, level)
+        return res
 
     def __init__(self, order=(0, 0, 0), season_length: int = 1,
                  seasonal_order=(0, 0, 0), include_mean: bool | None = None,
@@ -444,6 +482,26 @@ class AutoARIMA(Model):
     """Stepwise auto.arima (reference models.py:252; published
     Hyndman-Khandakar algorithm: unit-root d/D selection + neighborhood
     search capped at nmodels, AICc ranking)."""
+
+    tunable = True
+
+    def fit_state(self, y):
+        fit = auto_arima(np.asarray(y, dtype=np.float64), m=self.m, **self.kw)
+        if fit is None:
+            raise ValueError(f"{self.alias}: could not fit any model")
+        return fit
+
+    def forward(self, state, y, h, level=None, fitted=False):
+        fit = arima_forward(state, y)
+        mean, se = arima_forecast(fit, h)
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = arima_fitted(fit)
+        if level:
+            from sparkts.kernels.base import add_intervals
+
+            add_intervals(res, se, level)
+        return res
 
     def __init__(self, season_length: int = 1, max_p: int = 5, max_q: int = 5,
                  max_P: int = 2, max_Q: int = 2, max_d: int = 2, max_D: int = 1,

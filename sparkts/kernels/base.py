@@ -148,6 +148,38 @@ class Model:
     def _forecast(self, y: np.ndarray, h: int, fitted: bool):
         raise NotImplementedError
 
+    # ------------------------------------------------------------------ #
+    # forward contract (reference models.py:565-610): fit parameters once,
+    # re-apply them to new data without re-optimizing. Required by
+    # cross_validation(refit=False | int) (reference core.py:322-354,
+    # validation core.py:1188-1200). Models without tunable parameters get
+    # it for free (state = None → forward == forecast).
+
+    #: True for models with tuned/optimized parameters: they must override
+    #: fit_state/forward to honor refit=False, else cv(refit≠True) raises
+    #: (matching the reference's forward-method validation).
+    tunable = False
+
+    def fit_state(self, y: np.ndarray):
+        """Return the reusable parameter state for ``forward``. Default:
+        parameter-free models return None."""
+        if self.tunable:
+            raise NotImplementedError(
+                f"{self.alias} is parameterized but implements no forward; "
+                "use refit=True")
+        return None
+
+    def forward(self, state, y: np.ndarray, h: int,
+                level: list[int] | None = None, fitted: bool = False) -> dict:
+        """Apply a previously fitted ``state`` to (possibly longer) data
+        ``y``. Default = plain forecast — exactly correct for
+        parameter-free models (there is nothing to re-apply)."""
+        if self.tunable:
+            raise NotImplementedError(
+                f"{self.alias} is parameterized but implements no forward; "
+                "use refit=True")
+        return self.forecast(y, h, level=level, fitted=fitted)
+
     # exog-aware subclass hook (only called when uses_exog=True)
     def _forecast_exog(self, y, h, fitted, X, X_future):
         raise NotImplementedError

@@ -205,6 +205,8 @@ class AutoCES(Model):
     (reference models.py:1011). Intervals from simulated innovation paths
     (gaussian, seeded — deterministic under any partitioning)."""
 
+    tunable = True
+
     def __init__(self, season_length: int = 1, model: str = "Z",
                  alias: str | None = None):
         super().__init__(alias or "CES")

@@ -329,6 +329,8 @@ class AutoETS(Model):
     (additive error with multiplicative season; multiplicative anything on
     non-positive data) are skipped."""
 
+    tunable = True
+
     def __init__(self, season_length: int = 1, model: str = "ZZZ",
                  damped: bool | None = None, alias: str | None = None):
         super().__init__(alias or "AutoETS")
@@ -384,6 +386,38 @@ class AutoETS(Model):
             # scales with the forecast level (Hyndman 2008 ch. 6)
             sigmah = sigmah * np.abs(mean)
         return mean, sigmah, fit["fitted"]
+
+    # ---- forward contract (reference models.py:565-610): re-apply the
+    # selected spec + smoothing params + initial states to new data ------
+    def fit_state(self, y):
+        fit = self._fit(np.asarray(y, dtype=np.float64))
+        return fit
+
+    def forward(self, state, y, h, level=None, fitted=False):
+        y = np.asarray(y, dtype=np.float64)
+        m = state["m"]
+        # re-run the recursion with FIXED params from the stored fit; the
+        # stored fit's initial states are re-derived from the new series
+        # head (same heuristic, no re-optimization)
+        l0, b0, s0 = _init_state(y, m, state["trend"], state["season"])
+        f, lf, bf, sf = _etscalc(
+            y, l0, b0, s0, m, state["trend"], state["season"],
+            state["alpha"], state["beta"], state["gamma"], state["phi"])
+        fit = dict(state)
+        fit.update({"l": lf, "b": bf, "s": sf, "fitted": f})
+        resid = (y - f) if state["error"] == _A else (y - f) / np.where(
+            np.abs(f) < _TOL, _TOL, f)
+        fit["sigma2"] = float(np.sum(resid**2) / max(y.size - 2, 1))
+        mean = _ets_forecast(fit, h)
+        sigmah = _sigmah(fit, h)
+        if fit["error"] == _M:
+            sigmah = sigmah * np.abs(mean)
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = f
+        if level:
+            add_intervals(res, sigmah, level)
+        return res
 
 
 class ETS(AutoETS):

@@ -107,6 +107,8 @@ def garch_forecast(mod: dict, h: int) -> dict:
 class GARCH(Model):
     """GARCH(p,q) (reference models.py:6550)."""
 
+    tunable = True
+
     def __init__(self, p: int = 1, q: int = 1, alias: str | None = None):
         super().__init__(alias or (f"GARCH({p},{q})" if q else f"ARCH({p})"))
         if p <= 0:

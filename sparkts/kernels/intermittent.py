@@ -70,6 +70,8 @@ class CrostonOptimized(CrostonClassic):
     models.py:5237) — not implemented here; fitted returns None.
     """
 
+    tunable = True
+
     def _component_forecasts(self, yd, yi):
         _, pd_, _ = optimized_ses(yd)
         _, pi_, _ = optimized_ses(yi)
@@ -91,6 +93,8 @@ class ADIDA(Model):
     """Aggregate-disaggregate: chunk at round(mean inter-demand interval),
     optimized SES on chunk sums, disaggregate equally (models.py:4874-4903)."""
 
+    tunable = True
+
     def _forecast(self, y, h, fitted):
         if np.all(y == 0):
             return _all_zero_result(y, h)
@@ -103,6 +107,8 @@ class ADIDA(Model):
 class IMAPA(Model):
     """Average of optimized-SES forecasts at every aggregation level
     1..round(mean interval) (models.py:5551-5577)."""
+
+    tunable = True
 
     def _forecast(self, y, h, fitted):
         if np.all(y == 0):

@@ -297,6 +297,8 @@ class MFLESCore:
 class MFLES(Model):
     """Fixed-config MFLES (reference models.py:6149)."""
 
+    tunable = True
+
     def __init__(self, season_length: int | list[int] | None = None,
                  robust: bool | None = None, alias: str | None = None,
                  **fit_kwargs):
@@ -318,6 +320,8 @@ class MFLES(Model):
 class AutoMFLES(Model):
     """Config search by rolling-origin CV (reference models.py:1577,
     mfles.py:585-640 optimize + default_configs)."""
+
+    tunable = True
 
     def __init__(self, season_length: int | list[int] | None = None,
                  test_size: int | None = None, n_windows: int = 2,

@@ -134,6 +134,8 @@ class MSTL(Model):
     trend+remainder with ``trend_forecaster`` (default AutoETS('ZZN')),
     re-seasonalize by tiling each seasonal component's last cycle."""
 
+    tunable = True
+
     def __init__(self, season_length: int | list[int],
                  trend_forecaster: Model | None = None,
                  alias: str | None = None):

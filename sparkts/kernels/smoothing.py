@@ -37,6 +37,17 @@ class SimpleExponentialSmoothing(Model):
 
 
 class SimpleExponentialSmoothingOptimized(Model):
+    tunable = True
+
+    def fit_state(self, y):
+        return {"alpha": golden_section_ses(np.asarray(y, float), 0.01, 0.99)}
+
+    def forward(self, state, y, h, level=None, fitted=False):
+        """Re-apply the fitted alpha (reference forward semantics)."""
+        return SimpleExponentialSmoothing(
+            state["alpha"], alias=self.alias
+        ).forecast(y, h, level=level, fitted=fitted)
+
     def __init__(self, alias: str | None = None):
         super().__init__(alias or "SESOpt")
 
@@ -92,6 +103,8 @@ class SeasonalExponentialSmoothing(_SeasonalSESBase):
 
 
 class SeasonalExponentialSmoothingOptimized(_SeasonalSESBase):
+
+    tunable = True
     def __init__(self, season_length: int, alias: str | None = None):
         super().__init__(alias or "SeasESOpt")
         self.season_length = int(season_length)

@@ -231,6 +231,8 @@ class AutoTBATS(Model):
     {use_boxcox × use_trend × use_damped} (reference models.py:1744,
     tbats.py:800-882)."""
 
+    tunable = True
+
     def __init__(self, season_length: int | list[int],
                  use_boxcox: bool | None = None,
                  use_trend: bool | None = None,

@@ -55,6 +55,8 @@ def _kalman(y, T, Z, Q, H, P0_scale=_BIG):
 class _UCM(Model):
     """Shared Kalman machinery; subclasses define the structural form."""
 
+    tunable = True
+
     _n_state = 1
     _free_q = (0,)  # indices of state-noise variances that are free
 
