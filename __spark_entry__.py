@@ -625,6 +625,40 @@ def q_media_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ols_exog(spark, sf_dir):
+    """Exogenous-regressor path end-to-end with a SQL oracle: per-series
+    OLS of v_sum on n_rows over the 1h tier, predicted at three fixed
+    future regressor values (10/20/30). Exercises the cogrouped
+    applyInPandas exog zip; DuckDB checks via regr_intercept/regr_slope."""
+    from sparkts.kernels import LinearRegression
+
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    panel = tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+        F.col("n_rows").cast("double").alias("x"),
+    )
+    # fresh read for the id list — deriving it from `panel` would make the
+    # cogroup an ambiguous self-join
+    ids = (_t(spark, sf_dir, "events")
+           .select(F.col("event_type").alias("unique_id")).distinct())
+    X_df = ids.crossJoin(
+        spark.range(1, 4).select(
+            F.col("id").cast("int").alias("step"),
+            (F.col("id") * 10.0).alias("x"),
+        )
+    ).select("unique_id", F.col("step").alias("ds"), "x")
+    sf = SparkForecast([LinearRegression()], freq=1)
+    out = sf.forecast(panel.withColumn("ds", F.col("ds").cast("long")),
+                      h=3, X_df=X_df.withColumn("ds", F.col("ds").cast("long")))
+    return out.select(
+        "unique_id",
+        F.col("ds").cast("int").alias("step"),
+        F.round("LinearRegression", 4).alias("ols_pred"),
+    )
+
+
 def q_csp_intervals(spark, sf_dir):
     """ConformalSeasonalPool: seasonal-naive mean + pooled-conformal sample
     quantile intervals, seeded (partition-independent)."""
@@ -699,6 +733,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": q_compress_roundtrip,
         "cosine_topk": q_cosine_topk,
         "quality_stats": q_quality_stats,
+        "ols_exog": """
+            WITH tier AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     round(sum(value), 4) AS v, count(value)::DOUBLE AS n
+              FROM events GROUP BY 1, 2
+            ), fits AS (
+              SELECT event_type AS unique_id,
+                     regr_intercept(v, n) AS b0, regr_slope(v, n) AS b1
+              FROM tier GROUP BY 1
+            )
+            SELECT unique_id, step, round(b0 + b1 * (step * 10.0), 4) AS ols_pred
+            FROM fits CROSS JOIN (SELECT unnest([1, 2, 3]) AS step)
+        """,
         "fingerprint_md5": q_fingerprint_md5,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -718,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mfles_fc": q_mfles_fc,
         "tbats_fc": q_tbats_fc,
         "media_features": q_media_features,
+        "ols_exog": q_ols_exog,
     }
 
 
@@ -1030,6 +1078,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(digit_ratio), 6) AS avg_digit,
                    round(avg(quality_score), 6) AS avg_quality
             FROM s GROUP BY 1
+        """,
+        "ols_exog": """
+            WITH tier AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     round(sum(value), 4) AS v, count(value)::DOUBLE AS n
+              FROM events GROUP BY 1, 2
+            ), fits AS (
+              SELECT event_type AS unique_id,
+                     regr_intercept(v, n) AS b0, regr_slope(v, n) AS b1
+              FROM tier GROUP BY 1
+            )
+            SELECT unique_id, step, round(b0 + b1 * (step * 10.0), 4) AS ols_pred
+            FROM fits CROSS JOIN (SELECT unnest([1, 2, 3]) AS step)
         """,
         "fingerprint_md5": r"""
             SELECT doc_id,
