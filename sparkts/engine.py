@@ -50,18 +50,30 @@ def _future_index(last, h: int, freq):
     return pd.date_range(start=last + off, periods=h, freq=off)
 
 
-def _run_models(models, fallback, y, h, level, fitted, X=None, X_future=None):
-    """Per-series model sweep with fallback (reference core.py:189-204)."""
+def _run_models(models, fallback, y, h, level, fitted, X=None, X_future=None,
+                timers=None, fallback_counts=None):
+    """Per-series model sweep with fallback (reference core.py:189-204).
+
+    ``timers``/``fallback_counts``: optional dicts of Spark accumulators
+    keyed by alias — the distributed analogue of the reference's per-model
+    wall-time bookkeeping (core.py:173,205 forecast_times_)."""
+    import time as _time
+
     out: dict[str, np.ndarray] = {}
     fitted_out: dict[str, np.ndarray] = {}
     for m in models:
         kw = {"X": X, "X_future": X_future} if m.uses_exog else {}
+        t0 = _time.perf_counter()
         try:
             res = m.forecast(y, h, level=level, fitted=fitted, **kw)
         except Exception:
             if fallback is None:
                 raise
             res = fallback.forecast(y, h, level=level, fitted=fitted)
+            if fallback_counts is not None:
+                fallback_counts[repr(m)].add(1)
+        if timers is not None:
+            timers[repr(m)].add(_time.perf_counter() - t0)
         alias = repr(m)
         out[alias] = res["mean"]
         for lv in sorted(level or []):
@@ -93,6 +105,18 @@ class SparkForecast:
         self.models = list(models)
         self.freq = freq
         self.fallback_model = fallback_model
+        #: populated after a forecast() action runs: alias → accumulated
+        #: kernel seconds across all executors, and alias → fallback count
+        #: (reference forecast_times_, core.py:960)
+        self.forecast_times_: dict[str, object] = {}
+        self.fallback_counts_: dict[str, object] = {}
+
+    def _metrics(self, df: DataFrame):
+        """Fresh per-model accumulators registered on df's SparkContext."""
+        sc = df.sparkSession.sparkContext
+        self.forecast_times_ = {repr(m): sc.accumulator(0.0) for m in self.models}
+        self.fallback_counts_ = {repr(m): sc.accumulator(0) for m in self.models}
+        return self.forecast_times_, self.fallback_counts_
 
     # ------------------------------------------------------------------ #
     def forecast(
@@ -128,13 +152,17 @@ class SparkForecast:
                 "models with uses_exog need exog columns in df and an X_df "
                 "with h future rows per id")  # reference core.py:753-764
 
+        timers, fb_counts = self._metrics(df)
+
         if X_df is None:
             def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values(time_col)
                 y = pdf[target_col].to_numpy(dtype=np.float64)
                 last = pdf[time_col].iloc[-1]
                 future = _future_index(last, h, freq)
-                out, _ = _run_models(models, fallback, y, h, level, fitted=False)
+                out, _ = _run_models(models, fallback, y, h, level,
+                                     fitted=False, timers=timers,
+                                     fallback_counts=fb_counts)
                 data = {id_col: np.repeat(pdf[id_col].iloc[0], h), time_col: future}
                 data.update(out)
                 return pd.DataFrame(data)[cols]

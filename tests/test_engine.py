@@ -148,3 +148,18 @@ def test_integer_freq(spark):
 def test_duplicate_alias_rejected():
     with pytest.raises(ValueError):
         SparkForecast([Naive(), Naive()], freq="D")
+
+
+def test_per_model_metrics_accumulators(spark, panel_df):
+    from sparkts.engine import SparkForecast
+    from sparkts.kernels import FailingModel, Naive, SeasonalNaive
+
+    eng = SparkForecast([SeasonalNaive(24), FailingModel()], freq="h",
+                        fallback_model=Naive())
+    eng.forecast(panel_df, h=4).count()
+    n_series = panel_df.select("unique_id").distinct().count()
+    # every series fell back for the failing model, none for SeasonalNaive
+    assert eng.fallback_counts_["FailingModel"].value == n_series
+    assert eng.fallback_counts_["SeasonalNaive"].value == 0
+    # kernel wall time accumulated across executors
+    assert eng.forecast_times_["SeasonalNaive"].value > 0
