@@ -91,23 +91,31 @@ def _expand_params(x, p, q, P, Q, m, use_mean):
 
 def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
     """Conditional residuals of the ARMA recursion
-    e_t = ar(B) z_t - Σ_k ma_k e_{t-k}, e_t = 0 for t < ncond."""
+    e_t = ar(B) z_t - Σ_k ma_k e_{t-k}, e_t = 0 for t < ncond.
+
+    The AR side is one convolution; the MA feedback loop iterates only the
+    NONZERO ma lags — a seasonal (0,1,1)(0,1,1)_12 expansion has 25 lag
+    slots but just 3 nonzero coefficients, so the Python recurrence does 3
+    multiply-adds per step instead of 25."""
     n = z.size
     np_, nq = ar.size - 1, ma.size - 1
     # AR side vectorized: a_t = Σ ar_j z_{t-j}
     a = np.convolve(z, ar)[:n]
-    e = np.zeros(n)
     if nq == 0:
-        e[np_:] = a[np_:]
-        return e[np_:]
+        return a[np_:].copy()
     mac = ma[1:]
+    nz = np.flatnonzero(mac)
+    coefs = [(int(j) + 1, float(mac[j])) for j in nz]
+    # e padded with nq leading zeros so e_{t-k} reads never branch;
+    # positions < ncond stay zero by construction
+    epad = np.zeros(n + nq)
+    off = nq
     for t in range(np_, n):
         acc = a[t]
-        kmax = min(nq, t - np_)
-        for k in range(1, kmax + 1):
-            acc -= mac[k - 1] * e[t - k]
-        e[t] = acc
-    return e[np_:]
+        for lag, c in coefs:
+            acc -= c * epad[off + t - lag]
+        epad[off + t] = acc
+    return epad[off + np_:]
 
 
 def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
