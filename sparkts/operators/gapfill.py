@@ -66,6 +66,12 @@ def gap_fill(
     a missing crawl bucket genuinely means zero pages.
 
     Adds ``is_gap`` boolean. Output partitioned/sorted by (keys, bucket).
+
+    Plan note: the input is read twice (once for the spine bounds, once as
+    the join probe). Feed it a persisted/checkpointed tier — which the
+    pipeline always does — and the second read hits cache/parquet, never
+    raw data. The spine side broadcasts when small (AQE); at full scale it
+    sort-merge-joins on the same (keys, bucket) the tier is clustered by.
     """
     value_cols = ["v_sum"] if value_cols is None else value_cols
     zero_cols = zero_cols or []
