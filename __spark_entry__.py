@@ -625,6 +625,41 @@ def q_media_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing (rolling-hash) near-dup candidates: docs sharing ≥ 5
+    fingerprints (Schleimer-Wilkerson-Aiken; substring-locality guarantee
+    the MinHash path lacks). Rows-only check (rolling hash not
+    SQL-expressible); semantics covered by tests/test_text.py."""
+    from sparkts.operators import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    fp = winnow_fingerprints(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors: k-means coarse quantizer (seeded,
+    driver-side sample), JVM-side list assignment, nprobe=4 probe + exact
+    cosine re-rank. Rows-only check; recall-vs-bruteforce covered by
+    tests/test_ivf.py."""
+    from sparkts.operators import ivf_ann_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_lists=8, sample_rows=500, seed=7)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ivf_ann_topk(emb, list(q), cents, k=10, nprobe=4)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
 def q_ols_exog(spark, sf_dir):
     """Exogenous-regressor path end-to-end with a SQL oracle: per-series
     OLS of v_sum on n_rows over the 1h tier, predicted at three fixed
@@ -766,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbats_fc": q_tbats_fc,
         "media_features": q_media_features,
         "ols_exog": q_ols_exog,
+        "winnow_pairs": q_winnow_pairs,
+        "ivf_ann": q_ivf_ann,
     }
 
 

@@ -23,3 +23,11 @@ from sparkts.operators.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from sparkts.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    train_ivf_centroids,
+)
+from sparkts.operators.text import winnow_fingerprints  # noqa: F401

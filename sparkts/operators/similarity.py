@@ -145,3 +145,85 @@ def embedding_near_dup_pairs(
         ),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the k-means-coarse-quantizer scale path
+# --------------------------------------------------------------------- #
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer: Lloyd's k-means on a driver-side sample.
+
+    At 100 TB the quantizer trains on a bounded sample (standard IVF
+    practice — centroid quality needs thousands of points, not billions);
+    the expensive assignment step stays distributed. Deterministic via
+    seeded init + fixed iteration count."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(sample.shape[0], n_lists, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_lists):
+            pts = sample[assign == j]
+            if pts.shape[0]:
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
+def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> F.Column:
+    """Nearest-centroid id, fully JVM-side: argmin over per-centroid
+    squared distances built from F.aggregate dot products (no UDF)."""
+    v = F.col(vec_col)
+    best_id, best_d = F.lit(0), None
+    for j, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(j)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` lists nearest to the query, exact
+    cosine re-rank inside them. Complements the LSH path: IVF recall
+    degrades gracefully via nprobe instead of table count, and the
+    assignment column can be precomputed/partitioned-by for repeated
+    querying (the inverted file)."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(j) for j in np.argsort(d)[:nprobe]]
+    assigned = df.withColumn("__list", ivf_assign_col(vec_col, centroids))
+    cand = assigned.where(F.col("__list").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("cos_sim")
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -115,3 +115,63 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_xx64", F.xxhash64(norm)
     )
+
+
+# --------------------------------------------------------------------- #
+# winnowing fingerprints (rolling hash)
+# --------------------------------------------------------------------- #
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprints by winnowing (Schleimer-Wilkerson-Aiken):
+    Rabin-Karp rolling hashes of all k-byte grams, then the minimum hash of
+    every ``window`` consecutive grams — guaranteeing any shared substring
+    of length ≥ k + window − 1 yields a shared fingerprint.
+
+    Output: (id, fingerprint bigint) exploded rows; near-dup candidates =
+    documents sharing fingerprints (groupBy fingerprint → pairs), the same
+    bucket-join shape as MinHash-LSH but with locality guarantees on exact
+    substrings. Hashing is vectorized numpy inside one Arrow batch pass
+    (k scaled adds per doc, uint64 wraparound as the modulus).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("fingerprint", T.LongType(), False),
+    ])
+    P = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+    def per_doc(buf: bytes) -> np.ndarray:
+        b = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+        n = b.size
+        if n < k:
+            return np.unique(b[:1]) if n else np.empty(0, dtype=np.uint64)
+        m = n - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = h * P + b[j : j + m]
+        if h.size <= window:
+            sel = np.unique([h.min()])
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            sel = np.unique(sw.min(axis=1))
+        return sel
+
+    def mapper(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                sel = per_doc(str(txt).encode("utf-8"))
+                ids.extend([i] * sel.size)
+                fps.extend(sel.view(np.int64))
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return df.select(id_col, text_col).mapInPandas(mapper, schema)

@@ -56,3 +56,37 @@ def test_fingerprint_normalization(spark, docs):
     ).toPandas()
     assert df2.fp_md5.nunique() == 1
     assert df2.fp_xx64.nunique() == 1
+
+
+class TestWinnowing:
+    def test_substring_guarantee(self, spark):
+        from sparkts.operators import winnow_fingerprints
+
+        rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "PREFIX the quick brown fox jumps over the lazy dog END"),
+                (4, "completely different content with no overlap here")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        pdf = winnow_fingerprints(df, k=8, window=4).toPandas()
+        s = {i: set(pdf[pdf.doc_id == i]["fingerprint"]) for i in (1, 2, 3, 4)}
+        assert s[1] == s[2]                     # identical docs: same set
+        assert s[1] <= s[3]                     # substring: all shared
+        assert not (s[1] & s[4])                # unrelated: none shared
+
+    def test_partition_independent(self, spark, sf_dir):
+        from sparkts.operators import winnow_fingerprints
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        a = (winnow_fingerprints(docs.repartition(1)).toPandas()
+             .sort_values(["doc_id", "fingerprint"]).reset_index(drop=True))
+        b = (winnow_fingerprints(docs.repartition(8)).toPandas()
+             .sort_values(["doc_id", "fingerprint"]).reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_short_and_empty_docs(self, spark):
+        from sparkts.operators import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, "ab"), (2, "")], "doc_id int, text string")
+        out = winnow_fingerprints(df, k=8).toPandas()
+        assert (out["doc_id"] == 1).sum() == 1  # short doc: one hash
+        assert (out["doc_id"] == 2).sum() == 0  # empty doc: nothing
