@@ -633,7 +633,9 @@ def q_winnow_pairs(spark, sf_dir):
     from sparkts.operators import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    fp = winnow_fingerprints(docs)
+    # k=28 ≈ 4 words of the synthetic 6-char vocabulary — short grams would
+    # collide on shared vocabulary rather than shared passages
+    fp = winnow_fingerprints(docs, k=28, window=6)
     a, b = fp.alias("a"), fp.alias("b")
     pairs = (
         a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
@@ -641,7 +643,7 @@ def q_winnow_pairs(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= 5)
+        .where(F.col("n_shared") >= 3)
     )
     return pairs.orderBy("doc_a", "doc_b")
 
