@@ -131,6 +131,41 @@ def main() -> None:
         .collect(),
     )
 
+    # 8. reference-comparable headline: 9 cheap models × cv(3 windows, h=7)
+    # over a generated daily panel (the shape of the reference's
+    # benchmarks_at_scale experiment: experiments/benchmarks_at_scale,
+    # BASELINE.md headline ≈ 3,778 series/s on 128 vCPU).
+    from sparkts.datagen import panel_series
+    from sparkts.kernels import (
+        ADIDA,
+        CrostonClassic,
+        HistoricAverage,
+        IMAPA,
+        RandomWalkWithDrift,
+        SeasonalWindowAverage,
+    )
+
+    n_series = int(os.environ.get("SPARKTS_BENCH_SERIES", "2000"))
+    cheap_panel = panel_series(
+        spark, n_series=n_series, min_length=40, max_length=80, seed=1
+    ).cache()
+    cheap_panel.count()
+    nine = SparkForecast(
+        [Naive(), SeasonalNaive(7), HistoricAverage(), WindowAverage(7),
+         SeasonalWindowAverage(7, 2), RandomWalkWithDrift(),
+         SimpleExponentialSmoothing(0.3), CrostonClassic(), ADIDA()],
+        freq="D", fallback_model=Naive(),
+    )
+    _ = IMAPA  # 9-model set matches the reference's cheap-model family
+    timed(
+        "cv9_cheap_models",
+        lambda: nine.cross_validation(
+            cheap_panel, h=7, n_windows=3, step_size=7, drop_short=True
+        ).count(),
+    )
+    extras["cv9_series_per_sec"] = round(n_series / timings["cv9_cheap_models"], 1)
+    extras["cv9_n_series"] = n_series
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
