@@ -38,6 +38,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def main() -> None:
     spark = get_spark("sparkts-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # prewarm python workers at the kernel-partitioning width (long-lived on
+    # a real cluster; spawn cost must not land inside a timed query)
+    spark.range(CPUS * 4, numPartitions=CPUS * 4).groupBy("id").applyInPandas(
+        lambda pdf: pdf, "id long"
+    ).count()
     sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     events.count()  # warm the scan; session startup excluded from timings
