@@ -770,6 +770,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": q_compress_roundtrip,
         "cosine_topk": q_cosine_topk,
         "quality_stats": q_quality_stats,
+        "cv_multimodel": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM panel
+            ),
+            cuts AS (
+              SELECT DISTINCT unique_id, n, n - 24 + w * 12 AS cut_rn
+              FROM idx, unnest(generate_series(0, 1)) t(w)
+            ),
+            cutts AS (
+              SELECT c.unique_id, c.cut_rn, i.ds AS cutoff, i.y AS naive_fc
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn = c.cut_rn
+            ),
+            ses AS (
+              SELECT c.unique_id, c.cut_rn,
+                     sum(CASE WHEN i.rn = 1 THEN power(0.7, c.cut_rn - 1) * i.y
+                              ELSE 0.3 * power(0.7, c.cut_rn - i.rn) * i.y END
+                     ) AS ses_fc
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn <= c.cut_rn
+              GROUP BY 1, 2
+            )
+            SELECT i.unique_id, i.ds, ct.cutoff, round(i.y, 4) AS y,
+                   round(ct.naive_fc, 4) AS naive,
+                   round(sn.y, 4) AS snaive,
+                   round(s.ses_fc, 6) AS ses
+            FROM cutts ct
+            JOIN idx i ON i.unique_id = ct.unique_id
+                      AND i.rn > ct.cut_rn AND i.rn <= ct.cut_rn + 12
+            JOIN idx sn ON sn.unique_id = ct.unique_id AND sn.rn = i.rn - 24
+            JOIN ses s ON s.unique_id = ct.unique_id AND s.cut_rn = ct.cut_rn
+        """,
         "ols_exog": """
             WITH tier AS (
               SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -1117,6 +1152,41 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(digit_ratio), 6) AS avg_digit,
                    round(avg(quality_score), 6) AS avg_quality
             FROM s GROUP BY 1
+        """,
+        "cv_multimodel": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM panel
+            ),
+            cuts AS (
+              SELECT DISTINCT unique_id, n, n - 24 + w * 12 AS cut_rn
+              FROM idx, unnest(generate_series(0, 1)) t(w)
+            ),
+            cutts AS (
+              SELECT c.unique_id, c.cut_rn, i.ds AS cutoff, i.y AS naive_fc
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn = c.cut_rn
+            ),
+            ses AS (
+              SELECT c.unique_id, c.cut_rn,
+                     sum(CASE WHEN i.rn = 1 THEN power(0.7, c.cut_rn - 1) * i.y
+                              ELSE 0.3 * power(0.7, c.cut_rn - i.rn) * i.y END
+                     ) AS ses_fc
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn <= c.cut_rn
+              GROUP BY 1, 2
+            )
+            SELECT i.unique_id, i.ds, ct.cutoff, round(i.y, 4) AS y,
+                   round(ct.naive_fc, 4) AS naive,
+                   round(sn.y, 4) AS snaive,
+                   round(s.ses_fc, 6) AS ses
+            FROM cutts ct
+            JOIN idx i ON i.unique_id = ct.unique_id
+                      AND i.rn > ct.cut_rn AND i.rn <= ct.cut_rn + 12
+            JOIN idx sn ON sn.unique_id = ct.unique_id AND sn.rn = i.rn - 24
+            JOIN ses s ON s.unique_id = ct.unique_id AND s.cut_rn = ct.cut_rn
         """,
         "ols_exog": """
             WITH tier AS (
