@@ -118,6 +118,56 @@ def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
     return epad[off + np_:]
 
 
+def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
+    """Hannan–Rissanen starting values for the CSS optimizer: a long-AR
+    OLS pass produces residual proxies, then one OLS of z_t on its AR lags
+    and the residual MA lags yields initial (phi, theta, Phi, Theta).
+    Approximate under the multiplicative seasonal structure — that's fine,
+    these only seed Nelder-Mead (which previously started all coefficients
+    at 0 and collapsed on persistent series)."""
+    n = z.size
+    # build lag lists in _expand_params order: phi, theta, Phi, Theta
+    ar_lags = list(range(1, p + 1))
+    ma_lags = list(range(1, q + 1))
+    sar_lags = [m * j for j in range(1, P + 1)]
+    sma_lags = [m * j for j in range(1, Q + 1)]
+    k_total = p + q + P + Q
+    out = np.zeros(k_total)
+    e = None
+    if ma_lags or sma_lags:
+        kl = min(max(8, 2 * (p + q + m * (P + Q))), max(n // 3, 1))
+        if kl >= 1 and n - kl > kl + 2:
+            X = np.column_stack([z[kl - j: n - j] for j in range(1, kl + 1)])
+            yv = z[kl:]
+            try:
+                beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+                e = np.concatenate([np.zeros(kl), yv - X @ beta])
+            except np.linalg.LinAlgError:
+                e = None
+        if e is None:
+            # can't proxy residuals; seed only the AR part below
+            ma_lags, sma_lags = [], []
+    L = max(ar_lags + ma_lags + sar_lags + sma_lags, default=0)
+    if L == 0 or n - L < k_total + 2:
+        return out
+    cols = [z[L - l: n - l] for l in ar_lags]
+    cols += [e[L - l: n - l] for l in ma_lags]
+    cols += [z[L - l: n - l] for l in sar_lags]
+    cols += [e[L - l: n - l] for l in sma_lags]
+    try:
+        beta, *_ = np.linalg.lstsq(np.column_stack(cols), z[L:], rcond=None)
+    except np.linalg.LinAlgError:
+        return out
+    if not np.all(np.isfinite(beta)):
+        return out
+    j_out = j_beta = 0
+    for block, size in ((ar_lags, p), (ma_lags, q), (sar_lags, P), (sma_lags, Q)):
+        out[j_out: j_out + len(block)] = beta[j_beta: j_beta + len(block)]
+        j_beta += len(block)
+        j_out += size
+    return np.clip(out, -0.9, 0.9)
+
+
 def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
     """Estimate ARMA on the (already differenced) series z by CSS."""
     nparam = p + q + P + Q + int(use_mean)
@@ -133,11 +183,9 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
                 "loglik": -0.5 * nu * (np.log(2 * np.pi * sse / max(nu, 1)) + 1),
                 "nparam": 1, "resid_start": z.size - nu}
 
-    x0 = np.zeros(nparam)
-    if use_mean:
-        x0[-1] = float(np.mean(z))
     lo = np.full(nparam, -0.99)
     hi = np.full(nparam, 0.99)
+    mu0 = float(np.mean(z)) if use_mean else 0.0
     if use_mean:
         span = max(float(np.max(np.abs(z))), 1e-6) * 10
         lo[-1], hi[-1] = -span, span
@@ -153,7 +201,33 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
         nu = max(e.size, 1)
         return 0.5 * nu * np.log(sse / nu)
 
-    xb, fb = nelder_mead(objective, x0, lo, hi, max_iter=maxiter, tol_std=1e-8)
+    # Hannan-Rissanen seed; shrink toward 0 until admissible (roots outside
+    # the unit circle), falling back to the all-zero start.
+    x0 = np.zeros(nparam)
+    x0[: p + q + P + Q] = _hr_init(z - mu0, p, q, P, Q, m)
+    if use_mean:
+        x0[-1] = mu0
+    for _ in range(6):
+        if np.isfinite(objective(x0)):
+            break
+        x0[: p + q + P + Q] *= 0.5
+    else:
+        x0[: p + q + P + Q] = 0.0
+
+    # zero_pert must span the coefficient box (±0.99), not the reference's
+    # 1e-4 curve-fitting default: with the mean coordinate spanning ±10·max|z|
+    # a 1e-4 step on the AR/MA coords degenerates the simplex and NM returns
+    # phi≈0 on persistent series (AR(1) phi=0.95 repro in round-2 ADVICE).
+    xb, fb = nelder_mead(objective, x0, lo, hi, max_iter=maxiter,
+                         tol_std=1e-8, zero_pert=0.1)
+    # incumbent restarts (same remedy garch_fit uses): re-seed the simplex
+    # at the best point with a wide step until no further improvement
+    for _ in range(3):
+        cand, fcand = nelder_mead(objective, xb, lo, hi, max_iter=maxiter,
+                                  tol_std=1e-8, init_step=0.25, zero_pert=0.1)
+        if fcand >= fb - 1e-10:
+            break
+        xb, fb = cand, fcand
     if not np.isfinite(fb):
         return None
     ar, ma, mu, parts = _expand_params(xb, p, q, P, Q, m, use_mean)
@@ -318,6 +392,49 @@ def arima_forecast(fit, h):
     return out, se
 
 
+def arima_simulate(fit, h: int, n_paths: int, errs: np.ndarray) -> np.ndarray:
+    """Simulate paths through the integrated ARMA recursion (reference
+    arima.py:1543-1680 simulate_arima, state-space form; here the equivalent
+    CSS/difference-equation form): each path runs
+    y_t = c − Σ ar_full_j·y_{t−j} + e_t + Σ ma_k·e_{t−k} with past residuals
+    from the fit and future errors sampled by the caller."""
+    y = fit["y"]
+    m = fit["m"]
+    d_, D_ = fit["order"][1], fit["seasonal"][1]
+    dp = _diff_poly(d_, D_, m)
+    ar = fit.get("ar", np.array([1.0]))
+    ma = fit.get("ma", np.array([1.0]))
+    ar_full = _poly_mul(ar, dp)
+    c = fit["mu"] * float(np.sum(ar))
+    nar, nma = ar_full.size - 1, ma.size - 1
+    e = fit.get("resid", np.zeros(0))
+    e_full = np.zeros(y.size)
+    if e.size:
+        e_full[y.size - e.size:] = e
+    ybuf = np.zeros((n_paths, nar + h))
+    if nar:
+        tail = y[-nar:] if y.size >= nar else np.concatenate(
+            [np.zeros(nar - y.size), y])
+        ybuf[:, :nar] = tail
+    ebuf = np.zeros((n_paths, nma + h))
+    if nma:
+        tail = e_full[-nma:] if e_full.size >= nma else np.concatenate(
+            [np.zeros(nma - e_full.size), e_full])
+        ebuf[:, :nma] = tail
+    arc = ar_full[1:][::-1].copy()  # dot-ready: oldest lag first
+    mac = ma[1:][::-1].copy()
+    for i in range(h):
+        acc = c + errs[:, i]
+        if nar:
+            acc = acc - ybuf[:, i:i + nar] @ arc
+        if nma:
+            acc = acc + ebuf[:, i:i + nma] @ mac
+        ybuf[:, nar + i] = acc
+        if nma:
+            ebuf[:, nma + i] = errs[:, i]
+    return ybuf[:, nar:]
+
+
 def arima_fitted(fit):
     """One-step in-sample predictions on the original scale: y_t − e_t."""
     y = fit["y"]
@@ -347,9 +464,15 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
     max_q = min(max_q, n // 10 + 1)
 
     tried: dict[tuple, float] = {}
+    # constant term: mean when d+D==0, drift (mean of the differenced series)
+    # when d+D==1 (R auto.arima allowdrift=TRUE), none when d+D>=2. The
+    # stepwise search toggles it like any other order coordinate (published
+    # Hyndman-Khandakar step: "include/exclude c from the current model").
+    allow_c = (d + D) <= 1
+    c0 = 1 if allow_c else 0
 
-    def score(p, q, P, Q):
-        key = (p, q, P, Q)
+    def score(p, q, P, Q, c):
+        key = (p, q, P, Q, c)
         if key in tried:
             return tried[key], None
         if p > max_p or q > max_q or P > max_P or Q > max_Q or min(p, q, P, Q) < 0:
@@ -358,18 +481,22 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
         if m <= 1 and (P or Q):
             tried[key] = np.inf
             return np.inf, None
+        if c and not allow_c:
+            tried[key] = np.inf
+            return np.inf, None
         # search with a cheap optimizer budget; the winner is refit at full
         # budget at the end (the reference's CSS-approximation-then-refit
         # pattern, arima.py:1858-1859)
-        fit = arima_fit(y, (p, d, q), (P, D, Q), m, maxiter=min(maxiter, 150))
+        fit = arima_fit(y, (p, d, q), (P, D, Q), m, include_mean=bool(c),
+                        maxiter=min(maxiter, 150))
         val = np.inf if fit is None else fit["aicc"]
         tried[key] = val
         return val, fit
 
     # initial model set (published algorithm step 1)
-    inits = [(2, 2, 1, 1), (0, 0, 0, 0), (1, 0, 1, 0), (0, 1, 0, 1)]
+    inits = [(2, 2, 1, 1, c0), (0, 0, 0, 0, c0), (1, 0, 1, 0, c0), (0, 1, 0, 1, c0)]
     if m <= 1:
-        inits = [(2, 2, 0, 0), (0, 0, 0, 0), (1, 0, 0, 0), (0, 1, 0, 0)]
+        inits = [(2, 2, 0, 0, c0), (0, 0, 0, 0, c0), (1, 0, 0, 0, c0), (0, 1, 0, 0, c0)]
     best_val, best_fit, best_key = np.inf, None, None
     for k in inits:
         v, f = score(*k)
@@ -387,24 +514,29 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
             for q in range(max_q + 1):
                 for P in range(max_P + 1 if m > 1 else 1):
                     for Q in range(max_Q + 1 if m > 1 else 1):
-                        v, f = score(p, q, P, Q)
-                        if v < best_val and f is not None:
-                            best_val, best_fit, best_key = v, f, (p, q, P, Q)
+                        for c in ((0, 1) if allow_c else (0,)):
+                            v, f = score(p, q, P, Q, c)
+                            if v < best_val and f is not None:
+                                best_val, best_fit, best_key = v, f, (p, q, P, Q, c)
         return best_fit
 
     improved = True
     while improved and len(tried) < nmodels:
         improved = False
-        p, q, P, Q = best_key
+        p, q, P, Q, c = best_key
         neighbors = [
-            (p + 1, q, P, Q), (p - 1, q, P, Q), (p, q + 1, P, Q), (p, q - 1, P, Q),
-            (p + 1, q + 1, P, Q), (p - 1, q - 1, P, Q),
+            (p + 1, q, P, Q, c), (p - 1, q, P, Q, c),
+            (p, q + 1, P, Q, c), (p, q - 1, P, Q, c),
+            (p + 1, q + 1, P, Q, c), (p - 1, q - 1, P, Q, c),
         ]
         if m > 1:
             neighbors += [
-                (p, q, P + 1, Q), (p, q, P - 1, Q), (p, q, P, Q + 1), (p, q, P, Q - 1),
-                (p, q, P + 1, Q + 1), (p, q, P - 1, Q - 1),
+                (p, q, P + 1, Q, c), (p, q, P - 1, Q, c),
+                (p, q, P, Q + 1, c), (p, q, P, Q - 1, c),
+                (p, q, P + 1, Q + 1, c), (p, q, P - 1, Q - 1, c),
             ]
+        if allow_c:
+            neighbors.append((p, q, P, Q, 1 - c))
         for k in neighbors:
             v, f = score(*k)
             if v < best_val and f is not None:
@@ -412,8 +544,9 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
                 improved = True
                 break
     # full-budget refit of the winner
-    p, q, P, Q = best_key
-    final = arima_fit(y, (p, d, q), (P, D, Q), m, maxiter=maxiter)
+    p, q, P, Q, c = best_key
+    final = arima_fit(y, (p, d, q), (P, D, Q), m, include_mean=bool(c),
+                      maxiter=maxiter)
     return final if final is not None else best_fit
 
 
@@ -485,6 +618,18 @@ class ARIMA(Model):
         mean, se = arima_forecast(fit, h)
         return mean, se, arima_fitted(fit) if fitted else None
 
+    def simulate(self, y, h, n_paths=100, seed=0, error_dist="normal",
+                 error_params=None):
+        from sparkts.kernels.base import sample_errors
+
+        y = np.asarray(y, dtype=np.float64)
+        fit = self.fit_state(y)
+        rng = np.random.default_rng(seed)
+        errs = sample_errors((n_paths, h), float(np.sqrt(fit["sigma2"])),
+                             error_dist, error_params,
+                             fit.get("resid"), rng)
+        return arima_simulate(fit, h, n_paths, errs)
+
 
 class AutoARIMA(Model):
     """Stepwise auto.arima (reference models.py:252; published
@@ -527,6 +672,18 @@ class AutoARIMA(Model):
             raise ValueError(f"{self.alias}: could not fit any model (n={len(y)})")
         mean, se = arima_forecast(fit, h)
         return mean, se, arima_fitted(fit) if fitted else None
+
+    def simulate(self, y, h, n_paths=100, seed=0, error_dist="normal",
+                 error_params=None):
+        from sparkts.kernels.base import sample_errors
+
+        y = np.asarray(y, dtype=np.float64)
+        fit = self.fit_state(y)
+        rng = np.random.default_rng(seed)
+        errs = sample_errors((n_paths, h), float(np.sqrt(fit["sigma2"])),
+                             error_dist, error_params,
+                             fit.get("resid"), rng)
+        return arima_simulate(fit, h, n_paths, errs)
 
 
 class AutoRegressive(ARIMA):

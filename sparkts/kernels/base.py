@@ -125,6 +125,133 @@ def conformal_intervals(res: dict, cs: np.ndarray, level: list[int],
     return res
 
 
+# --- simulation error sampling ----------------------------------------------
+# Re-derivation of reference simulation.py:106-243 sample_errors. Same
+# distribution set (normal / t / laplace / skew-normal / ged / bootstrap) and
+# same two modes (auto-estimate from residuals when params is None; explicit
+# params + sigma otherwise). Deviation, documented: no scipy in this
+# environment, so auto-estimation is method-of-moments instead of MLE —
+# the distributions agree in mean/variance (and skew/kurtosis where the
+# moment exists), not in exact MLE parameter values.
+
+_SIM_DISTRIBUTIONS = ("normal", "t", "laplace", "skew-normal", "ged",
+                      "bootstrap")
+
+
+def _sample_ged(rng: np.random.Generator, shape: float, size) -> np.ndarray:
+    """Standardized generalized-error-distribution sample (variance 1):
+    |X| = W^(1/shape) with W~Gamma(1/shape), random sign, then scaled by
+    sqrt(Gamma(1/shape)/Gamma(3/shape)) (standard GED representation)."""
+    from math import gamma as _g
+
+    w = rng.gamma(1.0 / shape, 1.0, size=size)
+    x = np.sign(rng.uniform(-1, 1, size=size)) * w ** (1.0 / shape)
+    return x * np.sqrt(_g(1.0 / shape) / _g(3.0 / shape))
+
+
+def _sample_skewnorm(rng: np.random.Generator, skew_a: float, size) -> np.ndarray:
+    """Centered, variance-1 skew-normal(a) via the Azzalini representation
+    X = delta·|Z0| + sqrt(1-delta²)·Z1."""
+    delta = skew_a / np.sqrt(1.0 + skew_a * skew_a)
+    z0 = np.abs(rng.normal(size=size))
+    z1 = rng.normal(size=size)
+    x = delta * z0 + np.sqrt(1.0 - delta * delta) * z1
+    mu = delta * np.sqrt(2.0 / np.pi)
+    sd = np.sqrt(1.0 - mu * mu)
+    return (x - mu) / sd
+
+
+def _ged_shape_from_kurtosis(kurt: float) -> float:
+    """Invert the GED excess-kurtosis formula Γ(5/β)Γ(1/β)/Γ(3/β)² − 3 by
+    bisection on β ∈ [0.3, 10] (β=2 ⇒ normal, β=1 ⇒ laplace)."""
+    from math import gamma as _g
+
+    def k(beta):
+        return _g(5.0 / beta) * _g(1.0 / beta) / _g(3.0 / beta) ** 2 - 3.0
+
+    lo_b, hi_b = 0.3, 10.0
+    target = min(max(kurt, k(hi_b)), k(lo_b))
+    for _ in range(60):
+        mid = 0.5 * (lo_b + hi_b)
+        if k(mid) > target:
+            lo_b = mid
+        else:
+            hi_b = mid
+    return 0.5 * (lo_b + hi_b)
+
+
+def sample_errors(
+    size,
+    sigma: float,
+    distribution: str = "normal",
+    params: dict | None = None,
+    residuals: np.ndarray | None = None,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Sample simulation errors (reference simulation.py:106-243 contract)."""
+    if distribution not in _SIM_DISTRIBUTIONS:
+        raise ValueError(
+            f"unknown error distribution {distribution!r}; supported: "
+            f"{sorted(_SIM_DISTRIBUTIONS)}")
+    if rng is None:
+        rng = np.random.default_rng()
+    clean = None
+    if residuals is not None:
+        residuals = np.asarray(residuals, dtype=np.float64)
+        clean = residuals[np.isfinite(residuals)]
+
+    if distribution == "bootstrap":
+        if clean is None or clean.size == 0:
+            raise ValueError("bootstrap error distribution requires residuals")
+        return rng.choice(clean, size=int(np.prod(size)),
+                          replace=True).reshape(size)
+
+    auto = params is None and clean is not None and clean.size >= 10
+    if distribution == "normal":
+        return rng.normal(0.0, sigma, size=size)
+    if distribution == "laplace":
+        if auto:
+            loc = float(np.median(clean))  # Laplace MLE: median / MAD-mean
+            b = max(float(np.mean(np.abs(clean - loc))), 1e-12)
+            return rng.laplace(loc, b, size=size)
+        return rng.laplace(0.0, sigma / np.sqrt(2.0), size=size)
+    if distribution == "t":
+        if auto:
+            m2 = float(np.var(clean))
+            g2 = float(np.mean((clean - clean.mean()) ** 4)) / max(m2**2, 1e-300) - 3.0
+            df = 4.0 + 6.0 / g2 if g2 > 0.05 else 50.0  # moments: g2 = 6/(df-4)
+            df = min(max(df, 2.5), 100.0)
+            scale = np.sqrt(m2 * (df - 2.0) / df)
+            return float(np.mean(clean)) + scale * rng.standard_t(df, size=size)
+        df = float((params or {}).get("df", 5))
+        if df <= 2:
+            raise ValueError(f"t distribution needs df > 2, got {df}")
+        return sigma * np.sqrt((df - 2.0) / df) * rng.standard_t(df, size=size)
+    if distribution == "skew-normal":
+        if auto:
+            sd = float(np.std(clean))
+            g1 = float(np.mean((clean - clean.mean()) ** 3)) / max(sd**3, 1e-300)
+            g1 = min(max(g1, -0.95), 0.95)  # |skewness| < 0.9953 for skew-normal
+            # invert skewness(delta) = (4-pi)/2 · (delta·sqrt(2/pi))³/(1-2delta²/pi)^1.5
+            num = (2.0 * abs(g1) / (4.0 - np.pi)) ** (1.0 / 3.0)
+            delta = np.sign(g1) * num / np.sqrt(2.0 / np.pi * (1.0 + num**2))
+            delta = min(max(delta, -0.999), 0.999)
+            a = delta / np.sqrt(1.0 - delta * delta)
+            return float(np.mean(clean)) + sd * _sample_skewnorm(rng, a, size)
+        a = float((params or {}).get("skewness", 0.0))
+        return sigma * _sample_skewnorm(rng, a, size)
+    # ged
+    if auto:
+        m2 = float(np.var(clean))
+        g2 = float(np.mean((clean - clean.mean()) ** 4)) / max(m2**2, 1e-300) - 3.0
+        shape = _ged_shape_from_kurtosis(g2)
+        return float(np.mean(clean)) + np.sqrt(m2) * _sample_ged(rng, shape, size)
+    shape = float((params or {}).get("shape", 2.0))
+    if shape <= 0:
+        raise ValueError(f"ged shape must be > 0, got {shape}")
+    return sigma * _sample_ged(rng, shape, size)
+
+
 class Model:
     """Base class: stateless per-series forecaster.
 
@@ -227,13 +354,20 @@ class Model:
         n_paths: int = 100,
         seed: int = 0,
         error_dist: str = "normal",
+        error_params: dict | None = None,
     ) -> np.ndarray:
-        """(n_paths, h) sample trajectories: mean path + errors drawn from
-        the in-sample residual distribution (reference simulation.py:106-243
-        sample_errors; normal / laplace / bootstrap). The caller supplies a
-        partition-independent seed — the engine derives it from
-        (root_seed, unique_id), deliberately NOT the reference's positional
-        scheme (core.py:972), which depends on group order."""
+        """(n_paths, h) sample trajectories with errors ACCUMULATED through
+        each model's own forecast recursion (reference models.py per-model
+        ``simulate``: Naive models.py:3527-3553 cumsum, SeasonalNaive
+        models.py:4038-4044 seasonal carry, SES models.py:2419-2428 level
+        update) — NOT mean + iid noise, which understates path variance for
+        any model whose forecast error compounds. Errors come from
+        ``sample_errors`` (normal / t / laplace / skew-normal / ged /
+        bootstrap, reference simulation.py:106-243).
+
+        The caller supplies a partition-independent seed — the engine derives
+        it from (root_seed, unique_id), deliberately NOT the reference's
+        positional scheme (core.py:972), which depends on group order."""
         y = np.asarray(y, dtype=np.float64)
         mean, _, fitted_vals = self._forecast(y, h, True)
         mean = np.asarray(mean, dtype=np.float64)
@@ -244,15 +378,23 @@ class Model:
             resid = np.empty(0)
         if resid.size < 3:
             resid = y - np.nanmean(y)
+        sigma = self._sim_sigma(y, resid)
         rng = np.random.default_rng(seed)
-        if error_dist == "normal":
-            scale = float(np.sqrt(np.mean(resid**2)))
-            errs = rng.normal(0.0, scale, size=(n_paths, h))
-        elif error_dist == "laplace":
-            b = float(np.mean(np.abs(resid - np.median(resid))))
-            errs = rng.laplace(0.0, max(b, 1e-12), size=(n_paths, h))
-        elif error_dist == "bootstrap":
-            errs = rng.choice(resid, size=(n_paths, h), replace=True)
-        else:
-            raise ValueError(f"unknown error_dist {error_dist!r}")
+        errs = sample_errors((n_paths, h), sigma, error_dist, error_params,
+                             resid, rng)
+        return self._sim_paths(y, h, mean, errs)
+
+    # -- simulate hooks ------------------------------------------------- #
+    def _sim_sigma(self, y: np.ndarray, resid: np.ndarray) -> float:
+        """Error scale for simulation; models with a variance adjustment
+        (HistoricAverage 1+1/n, RWD 1+1/(n-1)) override."""
+        return float(np.sqrt(np.mean(resid**2)))
+
+    def _sim_paths(self, y: np.ndarray, h: int, mean: np.ndarray,
+                   errs: np.ndarray) -> np.ndarray:
+        """Apply the model's stochastic recursion to pre-sampled errors.
+        Default: flat mean + iid errors — exactly right for models whose
+        forecast is a fixed function of the training data with no carry
+        (HistoricAverage, WindowAverage; reference models.py:3340-3343).
+        Models with compounding errors override."""
         return mean[None, :] + errs

@@ -36,6 +36,11 @@ class Naive(Model):
         sigmah = sigma * np.sqrt(np.arange(1, h + 1))
         return mean, sigmah, fitted_vals
 
+    def _sim_paths(self, y, h, mean, errs):
+        # random walk: y_{T+i} = y_T + Σ e (reference models.py:3539-3553);
+        # path variance grows linearly in i, matching sigmah = σ·√step
+        return y[-1] + np.cumsum(errs, axis=1)
+
 
 class SeasonalNaive(Model):
     """Tile the last season to h steps.
@@ -66,6 +71,17 @@ class SeasonalNaive(Model):
         sigmah = sigma * np.sqrt((steps - 1) // m + 1)
         return mean, sigmah, fitted_vals
 
+    def _sim_paths(self, y, h, mean, errs):
+        # seasonal random walk: step i carries the simulated value one season
+        # back, paths[:, i] = paths[:, i-m] + e (reference models.py:4038-4044)
+        # so variance grows ~√(⌊i/m⌋+1), matching sigmah
+        m = self.season_length
+        paths = np.empty_like(errs)
+        for i in range(h):
+            prev = mean[i] if i < m else paths[:, i - m]
+            paths[:, i] = prev + errs[:, i]
+        return paths
+
 
 class HistoricAverage(Model):
     """Global mean; fitted = the mean everywhere (models.py:3208-3217);
@@ -79,6 +95,12 @@ class HistoricAverage(Model):
         sigma = residual_sigma(y - mu, n - 1)
         sigmah = np.full(h, sigma * np.sqrt(1 + 1 / n))
         return mean, sigmah, fitted_vals
+
+    def _sim_sigma(self, y, resid):
+        # prediction variance σ²·(1 + 1/n) (reference models.py:3333-3336);
+        # errors stay iid — the base flat _sim_paths is the correct recursion
+        n = y.size
+        return residual_sigma(resid, n - 1) * np.sqrt(1 + 1 / n)
 
 
 class RandomWalkWithDrift(Model):
@@ -98,6 +120,16 @@ class RandomWalkWithDrift(Model):
         sigma = residual_sigma(y - fitted_vals, n - 1)
         sigmah = sigma * np.sqrt(steps * (1 + steps / max(n - 1, 1)))
         return mean, sigmah, fitted_vals
+
+    def _sim_sigma(self, y, resid):
+        # drift-estimation uncertainty: σ·√(1 + 1/(n-1)) (models.py:3836-3841)
+        n = y.size
+        return residual_sigma(resid, n - 1) * np.sqrt(1 + 1 / max(n - 1, 1))
+
+    def _sim_paths(self, y, h, mean, errs):
+        # y_{T+i} = y_T + i·slope + Σ e (reference models.py:3843-3853):
+        # mean already holds last + slope·step, errors accumulate
+        return mean[None, :] + np.cumsum(errs, axis=1)
 
 
 class WindowAverage(Model):

@@ -288,6 +288,57 @@ def _ets_forecast(fit, h):
     return out
 
 
+def ets_simulate(fit, h: int, n_paths: int, errs: np.ndarray) -> np.ndarray:
+    """Path simulation through the ETS state recursion (reference
+    ets.py simulate_ets / C etssimulate semantics): each step draws an
+    observation y = f + e (additive error) or f·(1+e) (multiplicative),
+    then updates states from the SIMULATED y exactly as _etscalc does for
+    observed data. Vectorized across paths."""
+    m, trend, season = fit["m"], fit["trend"], fit["season"]
+    alpha, beta, gamma, phi = fit["alpha"], fit["beta"], fit["gamma"], fit["phi"]
+    error = fit["error"]
+    l = np.full(n_paths, fit["l"], dtype=np.float64)
+    b = np.full(n_paths, fit["b"], dtype=np.float64) if trend != _N else None
+    s = np.tile(np.asarray(fit["s"], dtype=np.float64), (n_paths, 1)) \
+        if season != _N else None
+    bo_a = beta / alpha if alpha > 0 else 0.0
+    paths = np.empty((n_paths, h))
+    for i in range(h):
+        if trend == _N:
+            q = l
+            phib = 0.0
+        else:
+            phib = phi * b
+            q = l + phib
+        if season == _N:
+            f = q
+        elif season == _A:
+            f = q + s[:, m - 1]
+        else:
+            f = q * s[:, m - 1]
+        y = f + errs[:, i] if error == _A else f * (1.0 + errs[:, i])
+        paths[:, i] = y
+        if season == _N:
+            p = y
+        elif season == _A:
+            p = y - s[:, m - 1]
+        else:
+            sm = np.where(np.abs(s[:, m - 1]) < _TOL, _TOL, s[:, m - 1])
+            p = y / sm
+        lnew = q + alpha * (p - q)
+        if trend != _N:
+            b = phib + bo_a * (lnew - q)
+        if season != _N:
+            if season == _A:
+                t = y - q
+            else:
+                t = y / np.where(np.abs(q) < _TOL, _TOL, q)
+            snew = s[:, m - 1] + gamma * (t - s[:, m - 1])
+            s = np.concatenate([snew[:, None], s[:, : m - 1]], axis=1)
+        l = lnew
+    return paths
+
+
 def _sigmah(fit, h):
     """Forecast std errors. Class-1 (additive-error linear models) exact
     formulas (Hyndman 2008 ch. 6); other classes approximated with the same
@@ -386,6 +437,22 @@ class AutoETS(Model):
             # scales with the forecast level (Hyndman 2008 ch. 6)
             sigmah = sigmah * np.abs(mean)
         return mean, sigmah, fit["fitted"]
+
+    def simulate(self, y, h, n_paths=100, seed=0, error_dist="normal",
+                 error_params=None):
+        from sparkts.kernels.base import sample_errors
+
+        y = np.asarray(y, dtype=np.float64)
+        fit = self._fit(y)
+        f = fit["fitted"]
+        if fit["error"] == _A:
+            resid = y - f
+        else:
+            resid = (y - f) / np.where(np.abs(f) < _TOL, _TOL, f)
+        rng = np.random.default_rng(seed)
+        errs = sample_errors((n_paths, h), float(np.sqrt(fit["sigma2"])),
+                             error_dist, error_params, resid, rng)
+        return ets_simulate(fit, h, n_paths, errs)
 
     # ---- forward contract (reference models.py:565-610): re-apply the
     # selected spec + smoothing params + initial states to new data ------

@@ -50,7 +50,7 @@ def nelder_mead(
     for _ in range(max_iter):
         order = np.argsort(f, kind="stable")
         best, second_worst, worst = order[0], order[-2], order[-1]
-        if np.std(f) < tol_std:
+        if np.all(np.isfinite(f)) and np.std(f) < tol_std:
             break
         centroid = (simplex.sum(axis=0) - simplex[worst]) / n
         xr = clamp(centroid + alpha * (centroid - simplex[worst]))

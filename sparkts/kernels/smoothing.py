@@ -25,6 +25,34 @@ def _ses_sigmah(y, fitted_vals, alpha, h):
     return sigma * np.sqrt(1 + (steps - 1) * alpha**2)
 
 
+def _ses_sim_paths(last_level: float, alpha: float, errs: np.ndarray) -> np.ndarray:
+    """SES path recursion (reference models.py:2419-2428): observe
+    level + e, then update level = α·obs + (1-α)·level — variance grows
+    as 1 + (i-1)·α², matching _ses_sigmah."""
+    n_paths, h = errs.shape
+    paths = np.empty_like(errs)
+    levels = np.full(n_paths, last_level)
+    for i in range(h):
+        paths[:, i] = levels + errs[:, i]
+        levels = alpha * paths[:, i] + (1 - alpha) * levels
+    return paths
+
+
+def _seasonal_ses_sim_paths(season_vals: np.ndarray, alphas: np.ndarray,
+                            errs: np.ndarray) -> np.ndarray:
+    """Per-phase SES recursion (reference models.py:2844-2852): each
+    seasonal phase keeps its own level, updated with its own alpha."""
+    n_paths, h = errs.shape
+    m = season_vals.size
+    paths = np.empty_like(errs)
+    levels = np.tile(season_vals, (n_paths, 1))
+    for i in range(h):
+        s = i % m
+        paths[:, i] = levels[:, s] + errs[:, i]
+        levels[:, s] = alphas[s] * paths[:, i] + (1 - alphas[s]) * levels[:, s]
+    return paths
+
+
 class SimpleExponentialSmoothing(Model):
     def __init__(self, alpha: float, alias: str | None = None):
         super().__init__(alias or "SES")
@@ -34,6 +62,9 @@ class SimpleExponentialSmoothing(Model):
         fitted_vals, fcst = ses_scan(y, self.alpha)
         mean = np.full(h, fcst)
         return mean, _ses_sigmah(y, fitted_vals, self.alpha, h), fitted_vals
+
+    def _sim_paths(self, y, h, mean, errs):
+        return _ses_sim_paths(mean[0], self.alpha, errs)
 
 
 class SimpleExponentialSmoothingOptimized(Model):
@@ -56,6 +87,10 @@ class SimpleExponentialSmoothingOptimized(Model):
         fitted_vals, fcst = ses_scan(y, alpha)
         mean = np.full(h, fcst)
         return mean, _ses_sigmah(y, fitted_vals, alpha, h), fitted_vals
+
+    def _sim_paths(self, y, h, mean, errs):
+        alpha = golden_section_ses(y, 0.01, 0.99)
+        return _ses_sim_paths(mean[0], alpha, errs)
 
 
 class _SeasonalSESBase(Model):
@@ -90,6 +125,19 @@ class _SeasonalSESBase(Model):
         k = (steps - 1) // m + 1
         sigmah = sigma * np.sqrt(1 + (k - 1) * float(np.mean(alphas)) ** 2)
         return mean, sigmah, fitted_vals
+
+    def _sim_paths(self, y, h, mean, errs):
+        m = self.season_length
+        n = y.size
+        if n < m:
+            return mean[None, :] + errs
+        season_vals = np.empty(m)
+        alphas = np.empty(m)
+        for i in range(m):
+            sub = y[i + n % m :: m]
+            alphas[i] = self._phase_alpha(sub)
+            season_vals[i] = ses_scan(sub, alphas[i])[1]
+        return _seasonal_ses_sim_paths(season_vals, alphas, errs)
 
 
 class SeasonalExponentialSmoothing(_SeasonalSESBase):

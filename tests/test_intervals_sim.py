@@ -84,12 +84,119 @@ class TestSimulate:
 
     def test_bootstrap_and_laplace(self, y):
         m = Naive()
-        for dist in ("bootstrap", "laplace"):
+        for dist in ("bootstrap", "laplace", "t", "skew-normal", "ged"):
             p = m.simulate(y, 4, n_paths=20, seed=5, error_dist=dist)
             assert p.shape == (20, 4)
             assert np.all(np.isfinite(p))
         with pytest.raises(ValueError):
             m.simulate(y, 4, error_dist="cauchy")
+
+    def test_naive_variance_grows_linearly(self):
+        # random-walk recursion: Var(y_{T+i}) = i·σ² (reference
+        # models.py:3539-3553) — the round-1 iid implementation was flat
+        rng = np.random.default_rng(0)
+        y = np.cumsum(rng.normal(0, 1, 400))
+        paths = Naive().simulate(y, 8, n_paths=6000, seed=2)
+        v = paths.var(axis=0)
+        ratio = v[7] / v[0]
+        assert 6.0 < ratio < 10.5  # ≈ 8
+
+    def test_seasonal_naive_variance_steps_by_season(self):
+        rng = np.random.default_rng(1)
+        m = 4
+        y = np.tile([10.0, 20.0, 15.0, 5.0], 50) + rng.normal(0, 1, 200)
+        paths = SeasonalNaive(m).simulate(y, 12, n_paths=6000, seed=3)
+        v = paths.var(axis=0)
+        # steps 1-4 have 1 accumulated error, 5-8 have 2, 9-12 have 3
+        assert v[:4].mean() == pytest.approx(v[4:8].mean() / 2, rel=0.25)
+        assert v[:4].mean() == pytest.approx(v[8:].mean() / 3, rel=0.25)
+
+    def test_rwd_variance_and_drift(self):
+        rng = np.random.default_rng(2)
+        y = np.cumsum(0.5 + rng.normal(0, 1, 300))
+        from sparkts.kernels.basic import RandomWalkWithDrift
+        paths = RandomWalkWithDrift().simulate(y, 10, n_paths=6000, seed=4)
+        v = paths.var(axis=0)
+        assert 7.0 < v[9] / v[0] < 13.5  # ≈ 10
+        slope = np.diff(paths.mean(axis=0)).mean()
+        assert 0.3 < slope < 0.7
+
+    def test_ses_variance_matches_sigmah(self):
+        from sparkts.kernels.smoothing import SimpleExponentialSmoothing
+        rng = np.random.default_rng(3)
+        y = 10 + rng.normal(0, 2, 300)
+        m = SimpleExponentialSmoothing(0.4)
+        paths = m.simulate(y, 10, n_paths=8000, seed=5)
+        res = m.forecast(y, 10, level=[95])
+        sigmah = (res["hi-95"] - res["mean"]) / 1.959964
+        np.testing.assert_allclose(paths.std(axis=0), sigmah, rtol=0.1)
+
+    def test_arima_simulate_recursion(self):
+        from sparkts.kernels.arima import ARIMA
+        rng = np.random.default_rng(6)
+        n = 300
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 0.8 * y[t - 1] + rng.normal()
+        m = ARIMA((1, 0, 0), include_mean=True)
+        paths = m.simulate(y, 12, n_paths=6000, seed=7)
+        res = m.forecast(y, 12, level=[95])
+        sigmah = (res["hi-95"] - res["mean"]) / 1.959964
+        np.testing.assert_allclose(paths.std(axis=0), sigmah, rtol=0.12)
+        np.testing.assert_allclose(paths.mean(axis=0), res["mean"], atol=0.12)
+
+    def test_ets_simulate_recursion(self):
+        # path std must track the model's own class-1 variance formula
+        # (which grows with α, β through the state recursion)
+        from sparkts.kernels.ets import ETS
+        rng = np.random.default_rng(8)
+        y = np.cumsum(rng.normal(0.2, 2, 300))  # RW-ish → large fitted alpha
+        m = ETS(model="AAN")
+        paths = m.simulate(y, 10, n_paths=8000, seed=9)
+        assert paths.shape == (8000, 10)
+        res = m.forecast(y, 10, level=[95])
+        sigmah = (res["hi-95"] - res["mean"]) / 1.959964
+        np.testing.assert_allclose(paths.mean(axis=0), res["mean"], atol=0.5)
+        np.testing.assert_allclose(paths.std(axis=0), sigmah, rtol=0.12)
+        assert sigmah[9] > sigmah[0] * 1.5  # variance genuinely grows here
+
+
+class TestSampleErrors:
+    def test_moments(self):
+        from sparkts.kernels.base import sample_errors
+        rng = np.random.default_rng(0)
+        resid = rng.normal(0, 2.0, 500)
+        for dist in ("normal", "t", "laplace", "skew-normal", "ged"):
+            e = sample_errors((200, 200), 2.0, dist, None, resid,
+                              np.random.default_rng(1))
+            # auto-fit centers on the residual mean (≈0 here, tolerance
+            # covers the fitted-loc shift) and matches the residual scale
+            assert abs(float(e.mean())) < 0.25
+            # laplace MLE matches the L1 scale, not variance → wider band
+            assert float(e.std()) == pytest.approx(2.0, rel=0.15)
+
+    def test_explicit_params(self):
+        from sparkts.kernels.base import sample_errors
+        e = sample_errors((100, 100), 1.5, "t", {"df": 6}, None,
+                          np.random.default_rng(2))
+        assert float(e.std()) == pytest.approx(1.5, rel=0.1)
+        e = sample_errors((100, 100), 1.5, "ged", {"shape": 1.0}, None,
+                          np.random.default_rng(3))
+        assert float(e.std()) == pytest.approx(1.5, rel=0.1)
+        with pytest.raises(ValueError):
+            sample_errors((2, 2), 1.0, "t", {"df": 1.5}, None)
+        with pytest.raises(ValueError):
+            sample_errors((2, 2), 1.0, "bootstrap", None, None)
+
+    def test_skewnorm_skewness_recovered(self):
+        from sparkts.kernels.base import sample_errors
+        rng = np.random.default_rng(4)
+        # strongly right-skewed residuals
+        resid = rng.gamma(2.0, 1.0, 2000) - 2.0
+        e = sample_errors(200_000, 1.0, "skew-normal", None, resid,
+                          np.random.default_rng(5))
+        g1 = float(np.mean((e - e.mean()) ** 3) / e.std() ** 3)
+        assert g1 > 0.3  # skew direction and rough magnitude preserved
 
 
 @pytest.mark.usefixtures("spark")

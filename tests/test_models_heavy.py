@@ -128,6 +128,44 @@ class TestARIMA:
         assert mean[-1] == pytest.approx(5 / 0.3, abs=1.0)
         assert np.all(np.diff(se) >= -1e-12)  # widening intervals
 
+    def test_ar1_high_persistence_recovery(self):
+        # round-2 ADVICE repro: phi=0.95 used to collapse to ~0.02 because
+        # the NM simplex started AR coefs at 0 with a 1e-4 perturbation
+        rng = np.random.default_rng(7)
+        n = 300
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 0.95 * y[t - 1] + rng.normal()
+        y += 5.0
+        fit = arima_fit(y, (1, 0, 0), include_mean=True)
+        assert fit["parts"][0][0] == pytest.approx(0.95, abs=0.04)
+        # SSE at the fit must beat the collapsed phi=0 solution by far
+        assert fit["sigma2"] < 1.2
+
+    def test_arma11_recovery(self):
+        rng = np.random.default_rng(11)
+        n = 400
+        e = rng.normal(size=n)
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 0.8 * y[t - 1] + e[t] + 0.5 * e[t - 1]
+        fit = arima_fit(y, (1, 0, 1), include_mean=True)
+        phi, theta = fit["parts"][0][0], fit["parts"][1][0]
+        assert phi == pytest.approx(0.8, abs=0.1)
+        assert theta == pytest.approx(0.5, abs=0.15)
+
+    def test_auto_arima_drift_candidate(self):
+        # d+D==1 must consider a drift term (R auto.arima allowdrift=TRUE);
+        # a drifted random walk should forecast with a positive slope
+        from sparkts.kernels.arima import auto_arima
+        rng = np.random.default_rng(1)
+        y = np.cumsum(0.5 + rng.normal(0, 1, 200))
+        fit = auto_arima(y, m=1)
+        assert sum(fit["order"][1:2]) + sum(fit["seasonal"][1:2]) >= 1
+        mean, _ = arima_forecast(fit, 20)
+        slope = float(np.diff(mean).mean())
+        assert 0.15 < slope < 0.9  # true drift 0.5
+
     def test_ma1_recovery(self):
         rng = np.random.default_rng(4)
         e = rng.normal(0, 1, 500)
