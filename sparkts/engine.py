@@ -206,7 +206,8 @@ class SparkForecast:
                     f"series {key[0]!r}: X_df has {len(future)} rows, "
                     f"expected h={h}")
             out, _ = _run_models(models, fallback, y, h, level, fitted=False,
-                                 X=X, X_future=X_future)
+                                 X=X, X_future=X_future, timers=timers,
+                                 fallback_counts=fb_counts)
             data = {id_col: np.repeat(key[0], h), time_col: future}
             data.update(out)
             return pd.DataFrame(data)[cols]
@@ -232,12 +233,20 @@ class SparkForecast:
         target_col: str = "y",
     ) -> DataFrame:
         """In-sample one-step predictions per model
-        (reference forecast_fitted_values, core.py:1095-1120)."""
+        (reference forecast_fitted_values, core.py:1095-1120).
+
+        ``level`` adds ``{model}-lo/hi-{l}`` fitted prediction intervals:
+        fitted ± z·σ with σ = √(Σ resid²/(n−1)) — the reference's
+        ``_add_fitted_pi`` (models.py:103-113), which applies one constant
+        residual-scale band across the in-sample period."""
+        from sparkts.kernels.base import norm_ppf, residual_sigma
+
         models, fallback = self.models, self.fallback_model
         schema = fitted_schema(
-            df.schema[id_col], df.schema[time_col], target_col, models, level=None
+            df.schema[id_col], df.schema[time_col], target_col, models,
+            level=level
         )
-        cols = [id_col, time_col, target_col] + [repr(m) for m in models]
+        cols = [id_col, time_col, target_col] + model_columns(models, level)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(time_col)
@@ -249,7 +258,14 @@ class SparkForecast:
                 target_col: y,
             }
             for alias, vals in fit.items():
-                data[alias] = vals if vals is not None else np.full(y.size, np.nan)
+                vals = vals if vals is not None else np.full(y.size, np.nan)
+                data[alias] = vals
+                if level:
+                    se = residual_sigma(y - vals, max(y.size - 1, 1))
+                    for lv in sorted(level):
+                        z = norm_ppf(0.5 + lv / 200.0)
+                        data[f"{alias}-lo-{lv}"] = vals - z * se
+                        data[f"{alias}-hi-{lv}"] = vals + z * se
             return pd.DataFrame(data)[cols]
 
         return (
@@ -330,6 +346,7 @@ class SparkForecast:
         target_col: str = "y",
         drop_short: bool = False,
         refit: bool | int = True,
+        sort: bool = True,
     ) -> DataFrame:
         """Rolling-origin backtest (reference core.py:246-383).
 
@@ -339,6 +356,13 @@ class SparkForecast:
         test_size+1 raise (reference core.py:1205-1212) unless
         ``drop_short=True`` drops them kernel-side.
 
+        Exogenous regressors: every df column beyond id/time/target is exog
+        and is sliced with y per window — X on the train slice, X_future on
+        the h test rows (reference core.py:294-300) — and fed to
+        ``uses_exog`` models. Exog requires ``refit=True`` here (our
+        ``forward`` contract is y-only; the reference threads X through
+        ``forward`` too — documented deviation).
+
         ``refit``: True refits every window; False fits parameters once on
         the first window and re-applies them via each model's ``forward``;
         an int k refits every k-th window (reference core.py:322-354).
@@ -346,11 +370,21 @@ class SparkForecast:
         (reference validation core.py:1188-1200) — at plan time, not in
         the workers.
 
+        ``sort=True`` adds the reference's presentation sort
+        [id, cutoff, ds] (core.py:1246-1257) — one extra full shuffle of the
+        cv output. Pass ``sort=False`` at scale when downstream doesn't
+        need global order.
+
         The whole backtest loop runs inside one kernel call per series
-        (reference-shaped "Option A"): state stays local, output is the
-        exploded (id, cutoff, ds) frame sorted by [id, cutoff, ds].
+        (reference-shaped "Option A"): state stays local.
         """
         models, freq, fallback = self.models, self.freq, self.fallback_model
+        exog_cols = [c for c in df.columns
+                     if c not in (id_col, time_col, target_col)]
+        uses_exog = any(m.uses_exog for m in models)
+        if uses_exog and not exog_cols:
+            raise ValueError(
+                "models with uses_exog need exog columns in df")
         if refit is not True:
             if isinstance(refit, int) and not isinstance(refit, bool) and refit < 1:
                 raise ValueError("refit must be True, False, or a positive int")
@@ -360,15 +394,21 @@ class SparkForecast:
                 raise ValueError(
                     f"refit={refit} needs a forward implementation for: "
                     f"{missing}")  # reference core.py:1188-1200
+            if uses_exog:
+                raise ValueError(
+                    "exog models require refit=True in cross_validation")
         test_size = h + step_size * (n_windows - 1)
         schema = cv_schema(
             df.schema[id_col], df.schema[time_col], target_col, models, level
         )
         cols = [id_col, time_col, "cutoff", target_col] + model_columns(models, level)
+        keep_exog = exog_cols if uses_exog else []
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(time_col)
             y = pdf[target_col].to_numpy(dtype=np.float64)
+            Xall = (pdf[keep_exog].to_numpy(dtype=np.float64)
+                    if keep_exog else None)
             ts = pdf[time_col].to_numpy()
             n = y.size
             if n <= test_size:
@@ -392,9 +432,13 @@ class SparkForecast:
                 train_end = n - test_size + w * step_size
                 lo = 0 if input_size is None else max(0, train_end - input_size)
                 y_train = y[lo:train_end]
+                X_train = Xall[lo:train_end] if Xall is not None else None
+                X_fut = (Xall[train_end: train_end + h]
+                         if Xall is not None else None)
                 if refit is True:
                     out, _ = _run_models(models, fallback, y_train, h, level,
-                                         fitted=False)
+                                         fitted=False, X=X_train,
+                                         X_future=X_fut)
                 else:
                     k = refit if isinstance(refit, int) and refit is not True else 0
                     do_fit = w == 0 or (k and w % k == 0)
@@ -429,8 +473,68 @@ class SparkForecast:
 
         out = (
             _kernel_partitioned(
+                df.select(id_col, time_col, target_col, *keep_exog), id_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+        return out.orderBy(id_col, "cutoff", time_col) if sort else out
+
+    # ------------------------------------------------------------------ #
+    def cross_validation_fitted_values(
+        self,
+        df: DataFrame,
+        h: int,
+        n_windows: int = 1,
+        step_size: int = 1,
+        input_size: int | None = None,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+    ) -> DataFrame:
+        """In-sample (train-window) predictions for every cv window
+        (reference cross_validation_fitted_values, core.py:1263-1302):
+        one block of TRAIN rows per (series, cutoff) with each model's
+        fitted values over that window — for analyzing how fit drifts
+        across training periods. Output: id, ds, cutoff, y, <model cols>.
+        """
+        models, fallback = self.models, self.fallback_model
+        test_size = h + step_size * (n_windows - 1)
+        schema = cv_schema(
+            df.schema[id_col], df.schema[time_col], target_col, models, None
+        )
+        cols = [id_col, time_col, "cutoff", target_col] + [repr(m) for m in models]
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            ts = pdf[time_col].to_numpy()
+            n = y.size
+            if n <= test_size:
+                raise ValueError(
+                    f"series {pdf[id_col].iloc[0]!r} has {n} observations "
+                    f"<= test_size {test_size}")
+            frames = []
+            for w in range(n_windows):
+                train_end = n - test_size + w * step_size
+                lo = 0 if input_size is None else max(0, train_end - input_size)
+                y_train = y[lo:train_end]
+                _, fit = _run_models(models, fallback, y_train, 1, None,
+                                     fitted=True)
+                data = {
+                    id_col: np.repeat(pdf[id_col].iloc[0], train_end - lo),
+                    time_col: ts[lo:train_end],
+                    "cutoff": np.repeat(ts[train_end - 1], train_end - lo),
+                    target_col: y_train,
+                }
+                for alias, vals in fit.items():
+                    data[alias] = (vals if vals is not None
+                                   else np.full(y_train.size, np.nan))
+                frames.append(pd.DataFrame(data))
+            return pd.concat(frames, ignore_index=True)[cols]
+
+        return (
+            _kernel_partitioned(
                 df.select(id_col, time_col, target_col), id_col)
             .groupBy(id_col)
             .applyInPandas(kernel, schema)
         )
-        return out.orderBy(id_col, "cutoff", time_col)

@@ -88,20 +88,31 @@ class ConformalIntervals:
         self.method = method
 
 
-def _conformal_scores(model, y: np.ndarray, h: int, n_windows: int) -> np.ndarray:
+def _conformal_scores(model, y: np.ndarray, h: int, n_windows: int,
+                      X: np.ndarray | None = None) -> np.ndarray:
     """|forecast − actual| over rolling-origin windows (reference
     models.py:188-218): window w trains on y[:n−(n_windows−w)·h] and scores
-    the next h points. Needs n > n_windows·h (reference core.py:632-653
-    validates 2h+1 samples minimum)."""
+    the next h points. ``h`` is the CONFIGURED conformal horizon
+    (prediction_intervals.h), and like the reference n_windows shrinks for
+    short series down to the 2-window minimum (models.py:196-203). Scoring
+    goes through ``model.forecast`` (not ``_forecast``) so uses_exog models
+    calibrate too — X is sliced per window like y."""
     n = y.size
-    if n <= n_windows * h:
+    n_windows = min(n_windows, (n - 1) // h)
+    if n_windows < 2:
         raise ValueError(
-            f"conformal intervals need > n_windows*h = {n_windows * h} "
-            f"observations, got {n}")
+            f"conformal intervals need at least {2 * h + 1} observations, "
+            f"got {n}")
     cs = np.empty((n_windows, h))
     for w in range(n_windows):
         cut = n - (n_windows - w) * h
-        mean = model._forecast(y[:cut].copy(), h, False)[0]
+        kw = {}
+        if model.uses_exog:
+            if X is None:
+                raise ValueError(
+                    f"{model.alias} uses exog; conformal calibration needs X")
+            kw = {"X": X[:cut], "X_future": X[cut: cut + h]}
+        mean = model.forecast(y[:cut].copy(), h, **kw)["mean"]
         cs[w] = np.abs(np.asarray(mean) - y[cut : cut + h])
     return cs
 
@@ -336,8 +347,15 @@ class Model:
             res["fitted"] = np.asarray(fitted_vals, dtype=np.float64)
         if level:
             if self.prediction_intervals is not None:
-                cs = _conformal_scores(self, y, h, self.prediction_intervals.n_windows)
-                conformal_intervals(res, cs, level, self.prediction_intervals.method)
+                pi = self.prediction_intervals
+                if h > pi.h:
+                    raise ValueError(
+                        f"forecast h={h} exceeds the conformal horizon "
+                        f"h={pi.h} configured in ConformalIntervals; "
+                        "calibration windows are sized by the configured h "
+                        "(reference models.py:196)")
+                cs = _conformal_scores(self, y, pi.h, pi.n_windows, X=X)
+                conformal_intervals(res, cs[:, :h], level, pi.method)
             elif sigmah is None:
                 raise ValueError(
                     f"{self.alias} has no native prediction intervals; pass "

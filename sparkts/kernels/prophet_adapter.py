@@ -84,19 +84,46 @@ class AutoARIMAProphet:
         return pd.DataFrame({"ds": future})
 
     def predict(self, df: pd.DataFrame | None = None) -> pd.DataFrame:
+        """Prophet semantics: rows of ``df`` at or before the end of the
+        training history get IN-SAMPLE fitted values; only rows after the
+        last training timestamp are forecast h-steps ahead (Prophet returns
+        in-sample yhat for history rows — the reference adapter inherits
+        that via Prophet.predict)."""
         if df is None:
             df = self.make_future_dataframe(periods=self.m or 1)
         df = df.sort_values("ds").reset_index(drop=True)
-        h = len(df)
         level = int(round(self.interval_width * 100))
-        res = self.model.forecast(self._resid_y, h, level=[level])
-        yhat = np.asarray(res["mean"], dtype=np.float64)
-        lo = np.asarray(res[f"lo-{level}"], dtype=np.float64)
-        hi = np.asarray(res[f"hi-{level}"], dtype=np.float64)
+        last_train = pd.to_datetime(self.history["ds"]).iloc[-1]
+        ds = pd.to_datetime(df["ds"])
+        is_hist = ds <= last_train
+        h = int((~is_hist).sum())
+        n = len(df)
+        yhat = np.full(n, np.nan)
+        lo = np.full(n, np.nan)
+        hi = np.full(n, np.nan)
+        if is_hist.any():
+            res_fit = self.model.forecast(self._resid_y, 1, fitted=True)
+            fitted = np.asarray(res_fit["fitted"], dtype=np.float64)
+            hist_ds = pd.to_datetime(self.history["ds"]).reset_index(drop=True)
+            pos = {t: i for i, t in enumerate(hist_ds)}
+            idx = np.array([pos.get(t, -1) for t in ds[is_hist]])
+            vals = np.where(idx >= 0, fitted[np.clip(idx, 0, None)], np.nan)
+            yhat[is_hist.to_numpy()] = vals
+            # Prophet exposes no uncertainty for in-sample rows by default;
+            # use a constant residual band (same as fitted PIs elsewhere)
+            resid = self._resid_y - fitted
+            se = float(np.sqrt(np.nanmean(resid**2)))
+            z = norm_ppf(0.5 + level / 200.0)
+            lo[is_hist.to_numpy()] = vals - z * se
+            hi[is_hist.to_numpy()] = vals + z * se
+        if h:
+            res = self.model.forecast(self._resid_y, h, level=[level])
+            yhat[~is_hist.to_numpy()] = np.asarray(res["mean"], dtype=np.float64)
+            lo[~is_hist.to_numpy()] = np.asarray(res[f"lo-{level}"], dtype=np.float64)
+            hi[~is_hist.to_numpy()] = np.asarray(res[f"hi-{level}"], dtype=np.float64)
         if self._beta is not None:
             Xf = self._design(df)
-            adj = np.hstack([np.ones((h, 1)), Xf]) @ self._beta
+            adj = np.hstack([np.ones((n, 1)), Xf]) @ self._beta
             yhat, lo, hi = yhat + adj, lo + adj, hi + adj
-        _ = norm_ppf  # gaussian widths come from the ARIMA psi-weights
         return pd.DataFrame({"ds": df["ds"], "yhat": yhat,
                              "yhat_lower": lo, "yhat_upper": hi})

@@ -31,3 +31,10 @@ from sparkts.operators.similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from sparkts.operators.text import winnow_fingerprints  # noqa: F401
+from sparkts.operators.dedup import (  # noqa: F401
+    dedup_keep_flags,
+    duplicate_clusters,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_near_dup_pairs,
+)

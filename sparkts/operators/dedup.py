@@ -220,3 +220,87 @@ def simhash_near_dup_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------- #
+# duplicate-cluster closure: pairs → connected components → keep flags
+# --------------------------------------------------------------------- #
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure over a duplicate-pair graph: connected components
+    by iterative min-label propagation. Returns (doc_id, cluster_id) where
+    cluster_id is the smallest doc id in the component — the canonical
+    "keep" representative.
+
+    This is the step between near-dup PAIR emitters (minhash/simhash/
+    cosine) and actually dropping rows: A~B and B~C must collapse A,B,C
+    into one cluster even though (A,C) was never emitted.
+
+    Scale design: each iteration is one join + one aggregation, both keyed
+    on doc id (no global collect); labels converge in O(log diameter)
+    iterations for the short near-dup chains real corpora produce. Lineage
+    is truncated per iteration with localCheckpoint so the plan doesn't
+    grow unboundedly, and convergence is detected with a changed-count
+    aggregate (0 rows changed → fixpoint).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: the smallest label among neighbors
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("n_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_flags(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Attach (cluster_id, keep) to every document: docs not in any pair
+    keep themselves (cluster of one); inside a cluster only the smallest
+    id survives. Left join — the doc table is never filtered implicitly."""
+    clusters = duplicate_clusters(pairs, a_col, b_col)
+    return (
+        docs.join(clusters, docs[id_col] == clusters.doc_id, "left")
+        .drop(clusters.doc_id)
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("keep", F.col("cluster_id") == F.col(id_col))
+    )

@@ -20,6 +20,7 @@ All pure DataFrame ops — two window functions, no UDFs, one shuffle
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def calendar_spine(
@@ -54,6 +55,7 @@ def gap_fill(
     step_s: int = 3600,
     season_length: int | None = None,
     zero_cols: list[str] | None = None,
+    persist: bool | str = "auto",
 ) -> DataFrame:
     """Densify a tier onto the calendar spine and fill missing buckets.
 
@@ -67,14 +69,22 @@ def gap_fill(
 
     Adds ``is_gap`` boolean. Output partitioned/sorted by (keys, bucket).
 
-    Plan note: the input is read twice (once for the spine bounds, once as
-    the join probe). Feed it a persisted/checkpointed tier — which the
-    pipeline always does — and the second read hits cache/parquet, never
-    raw data. The spine side broadcasts when small (AQE); at full scale it
+    Plan note: the input feeds TWO consumers (the spine bounds aggregation
+    and the join probe). If the input is an unpersisted computed plan, both
+    consumers recompute it from the raw source — at 100 TB that doubles the
+    dominant scan. So by default (``persist="auto"``) the operator persists
+    the input (MEMORY_AND_DISK) when it isn't already persisted; pass
+    ``persist=False`` to opt out (e.g. when the input is a bare parquet
+    tier read that is cheap to scan twice). The caller owns unpersist.
+    The spine side broadcasts when small (AQE); at full scale it
     sort-merge-joins on the same (keys, bucket) the tier is clustered by.
     """
     value_cols = ["v_sum"] if value_cols is None else value_cols
     zero_cols = zero_cols or []
+    if persist == "auto":
+        persist = df.storageLevel == StorageLevel.NONE
+    if persist:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     spine = calendar_spine(df, key_cols, bucket_col, step_s)
     joined = spine.join(df, on=[*key_cols, bucket_col], how="left")
     probe = value_cols[0] if value_cols else zero_cols[0]

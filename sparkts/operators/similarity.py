@@ -38,6 +38,18 @@ def cosine_similarity_col(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Deterministic top-k with a rank column, scale-safely.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — per-partition
+    top-k then a driver merge — so the full scored set never funnels through
+    a single-partition window. The row_number window that assigns ``rank``
+    runs over the k surviving rows only."""
+    top = scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -47,19 +59,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine vs one literal query vector.
 
-    Ties broken by id (deterministic). At scale the scan is
-    embarrassingly parallel; the top-k is a single narrow window over a
-    pre-filtered candidate set — for huge corpora prefer
-    ``lsh_ann_topk`` or aggregate per-partition top-k first.
+    Ties broken by id (deterministic). The scan is embarrassingly parallel
+    and the top-k is TakeOrderedAndProject (per-partition heaps + driver
+    merge) — no global shuffle at any corpus size.
     """
     qcol = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
         id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("cos_sim")
     )
-    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -109,8 +117,7 @@ def lsh_ann_topk(
     scored = cand.select(
         id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("cos_sim")
     )
-    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _topk_ranked(scored, k, id_col)
 
 
 def embedding_near_dup_pairs(
@@ -164,9 +171,15 @@ def train_ivf_centroids(
     At 100 TB the quantizer trains on a bounded sample (standard IVF
     practice — centroid quality needs thousands of points, not billions);
     the expensive assignment step stays distributed. Deterministic via
-    seeded init + fixed iteration count."""
+    seeded init + fixed iteration count. The sample is a seeded Bernoulli
+    draw across ALL partitions (``limit()`` alone would read only the first
+    partitions — a biased quantizer on sorted/clustered storage)."""
+    n = df.count()
+    frac = min(1.0, 1.2 * sample_rows / max(n, 1))
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        [r[0] for r in df.select(vec_col)
+         .sample(withReplacement=False, fraction=frac, seed=seed)
+         .limit(sample_rows).collect()],
         dtype=np.float64,
     )
     rng = np.random.default_rng(seed)
@@ -225,5 +238,4 @@ def ivf_ann_topk(
     scored = cand.select(
         id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("cos_sim")
     )
-    w = W.orderBy(F.desc("cos_sim"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _topk_ranked(scored, k, id_col)

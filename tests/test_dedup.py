@@ -77,3 +77,28 @@ def test_simhash_near_dup(spark, corpus):
     assert (0, 1) in got
     h01 = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].hamming.iloc[0]
     assert h01 == 0
+
+
+class TestClusterClosure:
+    def test_transitive_closure(self, spark):
+        from sparkts.operators.dedup import duplicate_clusters
+        # chain a-b-c + separate pair x-y + chain that needs 2 hops
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11), (5, 4), (6, 5), (7, 6)],
+            "doc_a long, doc_b long")
+        out = {r.doc_id: r.cluster_id
+               for r in duplicate_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                       4: 4, 5: 4, 6: 4, 7: 4}
+
+    def test_keep_flags(self, spark):
+        from sparkts.operators.dedup import dedup_keep_flags
+        docs = spark.createDataFrame(
+            [(i, f"text{i}") for i in range(1, 8)], "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (5, 6)], "doc_a long, doc_b long")
+        out = dedup_keep_flags(docs, pairs).toPandas().set_index("doc_id")
+        assert out.loc[1, "keep"] and not out.loc[2, "keep"] and not out.loc[3, "keep"]
+        assert out.loc[4, "keep"] and out.loc[7, "keep"]  # singletons keep
+        assert out.loc[5, "keep"] and not out.loc[6, "keep"]
+        assert len(out) == 7  # no doc silently dropped

