@@ -439,22 +439,41 @@ def q_fingerprint_md5(spark, sf_dir):
     return d.select("doc_id", "fp_md5")
 
 
-# --- rows-only checks (hash/optimizer semantics not SQL-expressible) -------- #
+# --- near-dup / ANN queries (md5-based hash families, full SQL oracles) ----- #
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (64 hashes, 16 bands)."""
+    """MinHash+LSH near-dup candidate pairs (64 universal hashes over the
+    md5-derived 30-bit shingle base, 16 bands). Value-checked end-to-end:
+    the DuckDB oracle recomputes signatures, banding, and the jaccard
+    estimator from the same hash family."""
     return minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.3
     ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup pairs (hamming ≤ 8)."""
+    """SimHash banded near-dup pairs (60-bit md5 token hash, hamming ≤ 8).
+    Full SQL oracle (bit arithmetic reproduced in DuckDB)."""
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def _lsh_planes(dim: int, n_planes: int = 4, n_tables: int = 8, seed: int = 42):
+    from sparkts.operators.similarity import _hyperplanes
+
+    return [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+
+def _emb_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return len(t.column("embedding")[0])
+
+
 def q_lsh_ann(spark, sf_dir):
-    """Approximate top-10 by hyperplane LSH + exact re-rank."""
+    """Approximate top-10 by hyperplane LSH + exact re-rank. The planes are
+    seeded literals shared with the SQL oracle, which recomputes buckets,
+    candidate union, and the cosine re-rank."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).first().embedding
     return lsh_ann_topk(emb, list(q), k=10, n_planes=4, n_tables=8).select(
@@ -462,8 +481,21 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster closure: MinHash near-dup pairs → connected
+    components by min-label propagation → (doc_id, cluster_id). Oracle is a
+    DuckDB recursive CTE over the same (SQL-recomputed) pair set."""
+    from sparkts.operators.dedup import duplicate_clusters
+
+    pairs = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
 def q_intermittent_fc(spark, sf_dir):
-    """Croston/ADIDA/IMAPA/TSB on sparse per-user error counts (h=1)."""
+    """Fixed-α intermittent-demand models (Croston classic/SBA, TSB) on
+    sparse per-user error counts (h=1). All three are fixed-α SES
+    compositions — the DuckDB oracle recomputes them in closed form.
+    (The optimized-α members ADIDA/IMAPA live in intermittent_opt_fc.)"""
     ev = _t(spark, sf_dir, "events")
     sparse = (
         ev.where(F.col("event_type") == "error")
@@ -476,29 +508,73 @@ def q_intermittent_fc(spark, sf_dir):
         value_cols=[], step_s=86400, zero_cols=["y"],
     ).select("unique_id", F.col("bucket").alias("ds"), "y")
     sf = SparkForecast(
-        [CrostonClassic(), CrostonSBA(), ADIDA(), IMAPA(), TSB(0.2, 0.2)],
+        [CrostonClassic(), CrostonSBA(), TSB(0.2, 0.2)],
         freq="D",
     )
     out = sf.forecast(spine, h=1)
     return out.select(
         "unique_id",
         "ds",
-        *[F.round(c, 6).alias(c.lower()) for c in
-          ["CrostonClassic", "CrostonSBA", "ADIDA", "IMAPA", "TSB"]],
+        F.round("CrostonClassic", 6).alias("croston_classic"),
+        F.round("CrostonSBA", 6).alias("croston_sba"),
+        F.round("TSB", 6).alias("tsb"),
+    )
+
+
+def q_intermittent_opt_fc(spark, sf_dir):
+    """ADIDA/IMAPA (golden-section-optimized SES over aggregation levels) —
+    rows-only driver check; the optimizer is exercised against the pure-SES
+    closed form in tests/test_kernels.py."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy((F.col("user_id") % 97).alias("unique_id"),
+                 F.date_trunc("day", "ts").alias("ds"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    spine = gap_fill(
+        sparse.withColumnRenamed("ds", "bucket"), ["unique_id"], "bucket",
+        value_cols=[], step_s=86400, zero_cols=["y"],
+    ).select("unique_id", F.col("bucket").alias("ds"), "y")
+    sf = SparkForecast([ADIDA(), IMAPA()], freq="D")
+    out = sf.forecast(spine, h=1)
+    return out.select(
+        "unique_id", "ds",
+        F.round("ADIDA", 6).alias("adida"),
+        F.round("IMAPA", 6).alias("imapa"),
     )
 
 
 def q_smoothing_fc(spark, sf_dir):
-    """Optimized SES + per-phase seasonal ES (golden-section α) h=4."""
+    """Fixed-α SES + per-phase seasonal ES, h=4 — closed-form SQL oracle
+    (power-weight SES). Optimized-α variants live in smoothing_opt_fc."""
     sf = SparkForecast(
-        [SimpleExponentialSmoothingOptimized(), SeasonalExponentialSmoothing(24, 0.3)],
+        [SimpleExponentialSmoothing(0.3), SeasonalExponentialSmoothing(24, 0.3)],
+        freq="h",
+    )
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=4)
+    return out.select(
+        "unique_id", "ds",
+        F.round("SES", 6).alias("ses"),
+        F.round("SeasonalES", 6).alias("seasonal_es"),
+    )
+
+
+def q_smoothing_opt_fc(spark, sf_dir):
+    """Golden-section-optimized SES + seasonal variant, h=4 — rows-only
+    (iterative optimizer); α recovery is unit-tested against the SSE grid."""
+    from sparkts.kernels import SeasonalExponentialSmoothingOptimized
+
+    sf = SparkForecast(
+        [SimpleExponentialSmoothingOptimized(),
+         SeasonalExponentialSmoothingOptimized(24)],
         freq="h",
     )
     out = sf.forecast(_dense_panel(spark, sf_dir), h=4)
     return out.select(
         "unique_id", "ds",
         F.round("SESOpt", 6).alias("ses_opt"),
-        F.round("SeasonalES", 6).alias("seasonal_es"),
+        F.round("SeasESOpt", 6).alias("seas_es_opt"),
     )
 
 
@@ -561,8 +637,25 @@ def q_mstl_fc(spark, sf_dir):
 
 
 def q_arima_fc(spark, sf_dir):
-    """Fixed-order ARIMA(1,1,1) via CSS on the daily tier. Iterative
-    optimization — rows-only driver check."""
+    """ARIMA(0,1,0) with drift + 90% intervals on the daily tier. The CSS
+    minimizer for the pure-drift model is closed form (mu = mean of the
+    differenced series; psi-weights of 1/(1−B) give se = σ√step), so the
+    DuckDB oracle value-checks the full differencing → drift → integrate →
+    interval pipeline. NM-optimized orders live in arima_css_fc."""
+    sf = SparkForecast([ARIMA(order=(0, 1, 0), include_mean=True)], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("ARIMA", 4).alias("arima_fc"),
+        F.round("ARIMA-lo-90", 4).alias("arima_lo90"),
+        F.round("ARIMA-hi-90", 4).alias("arima_hi90"),
+    )
+
+
+def q_arima_css_fc(spark, sf_dir):
+    """Fixed-order ARIMA(1,1,1) via CSS Nelder-Mead on the daily tier.
+    Iterative optimization — rows-only driver check; estimation accuracy is
+    pinned by AR/MA recovery tests (tests/test_models_heavy.py)."""
     sf = SparkForecast([ARIMA(order=(1, 1, 1))], freq="D")
     out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
     return out.select("unique_id", "ds", F.round("ARIMA", 4).alias("arima_fc"))
@@ -648,18 +741,107 @@ def q_winnow_pairs(spark, sf_dir):
     return pairs.orderBy("doc_a", "doc_b")
 
 
-def q_ivf_ann(spark, sf_dir):
-    """IVF approximate nearest neighbors: k-means coarse quantizer (seeded,
-    driver-side sample), JVM-side list assignment, nprobe=4 probe + exact
-    cosine re-rank. Rows-only check; recall-vs-bruteforce covered by
-    tests/test_ivf.py."""
-    from sparkts.operators import ivf_ann_topk, train_ivf_centroids
+_IVF_CACHE: dict = {}
 
+
+def _local_ivf_state(sf_dir, n_lists=8, sample_rows=500, iters=10, seed=7,
+                     nprobe=4):
+    """Centroids + query vector + probe lists computed OUTSIDE both engines
+    (pyarrow read, first sample_rows in vec_id order, shared Lloyd's loop)
+    so the Spark query and the DuckDB oracle search identical structures."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from sparkts.operators.similarity import lloyd_kmeans
+
+    key = (sf_dir, n_lists, sample_rows, iters, seed, nprobe)
+    if key not in _IVF_CACHE:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id"))
+        order = np.argsort(ids, kind="stable")
+        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+        cents = lloyd_kmeans(vecs[:sample_rows], n_lists, iters, seed)
+        q = vecs[0]  # vec_id == 0 (sorted)
+        d = ((cents - q[None, :]) ** 2).sum(axis=1)
+        probe = [int(j) for j in np.argsort(d)[:nprobe]]
+        _IVF_CACHE[key] = (cents, q, probe)
+    return _IVF_CACHE[key]
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors: seeded k-means coarse quantizer,
+    JVM-side list assignment, nprobe=4 probe + exact cosine re-rank. The
+    quantizer is trained outside Spark (deterministic pyarrow sample) and
+    shared with the DuckDB oracle, which re-runs assignment + probe +
+    re-rank on the same centroids."""
+    from sparkts.operators import ivf_ann_topk
+
+    cents, q, _ = _local_ivf_state(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_lists=8, sample_rows=500, seed=7)
-    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     out = ivf_ann_topk(emb, list(q), cents, k=10, nprobe=4)
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+def q_cv_exog(spark, sf_dir):
+    """Exogenous regressors threaded through cross_validation (reference
+    core.py:294-300): per-series OLS of v_sum on n_rows backtested over 2
+    windows; the DuckDB oracle refits regr_slope/intercept on each train
+    prefix and predicts the test rows' x."""
+    from sparkts.kernels import LinearRegression
+
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1h")
+    panel = tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+        F.col("n_rows").cast("double").alias("x"),
+    )
+    sf = SparkForecast([LinearRegression()], freq="h")
+    out = sf.cross_validation(panel, h=6, n_windows=2, step_size=6)
+    return out.select(
+        "unique_id", "ds", "cutoff",
+        F.round("y", 4).alias("y"),
+        F.round("LinearRegression", 4).alias("ols_cv"),
+    )
+
+
+def q_fitted_pi(spark, sf_dir):
+    """In-sample fitted values with prediction intervals
+    (fitted ± z·σ, reference models.py:103-113 _add_fitted_pi)."""
+    sf = SparkForecast([Naive()], freq="h")
+    out = sf.fitted_values(_dense_panel(spark, sf_dir), level=[95])
+    return out.select(
+        "unique_id", "ds",
+        F.round("y", 4).alias("y"),
+        F.round("Naive", 4).alias("naive_fitted"),
+        F.round("Naive-lo-95", 4).alias("naive_lo95"),
+        F.round("Naive-hi-95", 4).alias("naive_hi95"),
+    )
+
+
+def q_cv_fitted(spark, sf_dir):
+    """Per-window in-sample predictions (reference
+    cross_validation_fitted_values, core.py:1263-1302): Naive fitted =
+    lag(y) over each train window."""
+    sf = SparkForecast([Naive()], freq="h")
+    out = sf.cross_validation_fitted_values(
+        _dense_panel(spark, sf_dir), h=12, n_windows=2, step_size=12)
+    return out.select(
+        "unique_id", "ds", "cutoff",
+        F.round("y", 4).alias("y"),
+        F.round("Naive", 4).alias("naive_fitted"),
+    )
+
+
+def q_seasonal_window_avg(spark, sf_dir):
+    """SeasonalWindowAverage(m=24, w=7): per-phase mean over the last 7
+    seasonal cycles, tiled to h=24 (reference models.py:4705-4719)."""
+    from sparkts.kernels import SeasonalWindowAverage
+
+    sf = SparkForecast([SeasonalWindowAverage(24, 7)], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=24)
+    return out.select(
+        "unique_id", "ds", F.round("SeasWA", 6).alias("seas_wavg"))
 
 
 def q_ols_exog(spark, sf_dir):
@@ -770,65 +952,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": q_compress_roundtrip,
         "cosine_topk": q_cosine_topk,
         "quality_stats": q_quality_stats,
-        "cv_multimodel": f"""
-            WITH {_PANEL_CTE},
-            idx AS (
-              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
-                     count(*) OVER (PARTITION BY unique_id) n
-              FROM panel
-            ),
-            cuts AS (
-              SELECT DISTINCT unique_id, n, n - 24 + w * 12 AS cut_rn
-              FROM idx, unnest(generate_series(0, 1)) t(w)
-            ),
-            cutts AS (
-              SELECT c.unique_id, c.cut_rn, i.ds AS cutoff, i.y AS naive_fc
-              FROM cuts c JOIN idx i
-                ON i.unique_id = c.unique_id AND i.rn = c.cut_rn
-            ),
-            ses AS (
-              SELECT c.unique_id, c.cut_rn,
-                     sum(CASE WHEN i.rn = 1 THEN power(0.7, c.cut_rn - 1) * i.y
-                              ELSE 0.3 * power(0.7, c.cut_rn - i.rn) * i.y END
-                     ) AS ses_fc
-              FROM cuts c JOIN idx i
-                ON i.unique_id = c.unique_id AND i.rn <= c.cut_rn
-              GROUP BY 1, 2
-            )
-            SELECT i.unique_id, i.ds, ct.cutoff, round(i.y, 4) AS y,
-                   round(ct.naive_fc, 4) AS naive,
-                   round(sn.y, 4) AS snaive,
-                   round(s.ses_fc, 6) AS ses
-            FROM cutts ct
-            JOIN idx i ON i.unique_id = ct.unique_id
-                      AND i.rn > ct.cut_rn AND i.rn <= ct.cut_rn + 12
-            JOIN idx sn ON sn.unique_id = ct.unique_id AND sn.rn = i.rn - 24
-            JOIN ses s ON s.unique_id = ct.unique_id AND s.cut_rn = ct.cut_rn
-        """,
-        "ols_exog": """
-            WITH tier AS (
-              SELECT event_type, date_trunc('hour', ts) AS bucket,
-                     round(sum(value), 4) AS v, count(value)::DOUBLE AS n
-              FROM events GROUP BY 1, 2
-            ), fits AS (
-              SELECT event_type AS unique_id,
-                     regr_intercept(v, n) AS b0, regr_slope(v, n) AS b1
-              FROM tier GROUP BY 1
-            )
-            SELECT unique_id, step, round(b0 + b1 * (step * 10.0), 4) AS ols_pred
-            FROM fits CROSS JOIN (SELECT unnest([1, 2, 3]) AS step)
-        """,
         "fingerprint_md5": q_fingerprint_md5,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
+        "dedup_clusters": q_dedup_clusters,
         "intermittent_fc": q_intermittent_fc,
+        "intermittent_opt_fc": q_intermittent_opt_fc,
         "smoothing_fc": q_smoothing_fc,
+        "smoothing_opt_fc": q_smoothing_opt_fc,
         "theta_fc": q_theta_fc,
         "cv_multimodel": q_cv_multimodel,
         "autoets_fc": q_autoets_fc,
         "mstl_fc": q_mstl_fc,
         "arima_fc": q_arima_fc,
+        "arima_css_fc": q_arima_css_fc,
         "garch_fc": q_garch_fc,
         "ces_fc": q_ces_fc,
         "simulate_paths": q_simulate_paths,
@@ -840,7 +978,362 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_exog": q_ols_exog,
         "winnow_pairs": q_winnow_pairs,
         "ivf_ann": q_ivf_ann,
+        "cv_exog": q_cv_exog,
+        "fitted_pi": q_fitted_pi,
+        "cv_fitted": q_cv_fitted,
+        "seasonal_window_avg": q_seasonal_window_avg,
     }
+
+
+# --------------------------------------------------------------------------- #
+# generated oracle SQL (hash families / plane literals shared with the Spark
+# plans above, so DuckDB recomputes identical values)
+# --------------------------------------------------------------------------- #
+
+def _minhash_ctes() -> str:
+    """CTE chain ending in mh_pairs(doc_a, doc_b, est_jaccard) — the DuckDB
+    twin of minhash_dedup_pairs (64 universal hashes, 16 bands of 4,
+    threshold 0.3)."""
+    from sparkts.operators.dedup import _MINHASH_P, minhash_coeffs
+
+    mins = ",\n             ".join(
+        f"min(({a}*hbase+{b})%{_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(64)))
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"h{b * 4 + r}::VARCHAR" for r in range(4))
+        + " AS bucket FROM sig"
+        for b in range(16))
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(64))
+    return rf"""
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+               AS shingle
+      FROM toks
+    ),
+    hb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 1073741824 AS hbase
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
+    banded AS (
+{bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    mh_est AS (
+      SELECT c.doc_a, c.doc_b, ({eq}) / 64.0 AS est_jaccard
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    mh_pairs AS (SELECT * FROM mh_est WHERE est_jaccard >= 0.3)
+    """
+
+
+def _simhash_sql() -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(60))
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(60))
+    chunk_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, simhash, {c} AS chunk,"
+        f" (simhash >> {c * 15}) & 32767 AS val FROM fp"
+        for c in range(4))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+    sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
+    chunks AS (
+{chunk_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """
+
+
+def _vec_lit(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _oracle_sf_dir() -> str:
+    """The scale the oracle SQL is generated against. The driver compares at
+    sf0.01; tests override via SPARKTS_ORACLE_SF_DIR so data-derived
+    literals (IVF centroids, plane dims) match the tables under test."""
+    import os
+
+    return os.environ.get("SPARKTS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _cosine_rerank_sql(cand_cte: str) -> str:
+    """Shared tail: exact cosine of candidates vs the vec_id=0 query,
+    ranked on the UNROUNDED score (matching _topk_ranked)."""
+    return f"""
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    rr AS (
+      SELECT v.vec_id, unnest(v.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS qx
+      FROM embeddings v JOIN {cand_cte} c ON v.vec_id = c.vec_id, qv q
+    ),
+    dots2 AS (
+      SELECT vec_id, sum(x * qx) AS dot,
+             sqrt(sum(x * x)) AS nx, sqrt(sum(qx * qx)) AS nq
+      FROM rr GROUP BY 1
+    ),
+    scored AS (SELECT vec_id, dot / (nx * nq) AS raw_sim FROM dots2)
+    SELECT vec_id, round(raw_sim, 6) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY raw_sim DESC, vec_id)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+def _lsh_ann_sql(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    dim = _emb_dim(sf_dir)
+    tables = _lsh_planes(dim, 4, 8, 42)
+    plane_unnests = ",\n             ".join(
+        f"unnest({_vec_lit(p)}) AS p{t}_{i}"
+        for t, planes in enumerate(tables) for i, p in enumerate(planes))
+    dot_aggs = ",\n             ".join(
+        f"sum(x * p{t}_{i}) AS d{t}_{i}" for t in range(8) for i in range(4))
+    key_exprs = ",\n             ".join(
+        "(" + " + ".join(f"(CASE WHEN d{t}_{i} >= 0 THEN {2**i} ELSE 0 END)"
+                         for i in range(4)) + f") AS k{t}"
+        for t in range(8))
+    match = " OR ".join(f"k.k{t} = q.k{t}" for t in range(8))
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             {plane_unnests}
+      FROM embeddings
+    ),
+    dots AS (SELECT vec_id, {dot_aggs} FROM pr GROUP BY vec_id),
+    keys AS (SELECT vec_id, {key_exprs} FROM dots),
+    qk AS (SELECT * FROM keys WHERE vec_id = 0),
+    cand AS (SELECT k.vec_id FROM keys k, qk q WHERE {match}),
+    {_cosine_rerank_sql("cand")}
+    """
+
+
+def _ivf_ann_sql(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    cents, _q, probe = _local_ivf_state(sf_dir)
+    cent_unnests = ",\n             ".join(
+        f"unnest({_vec_lit(c)}) AS c{j}" for j, c in enumerate(cents))
+    dist_aggs = ",\n             ".join(
+        f"sum((x - c{j}) * (x - c{j})) AS d{j}" for j in range(len(cents)))
+    dlist = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    jlist = "[" + ", ".join(str(j) for j in range(len(cents))) + "]"
+    probes = ", ".join(str(j) for j in probe)
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             {cent_unnests}
+      FROM embeddings
+    ),
+    dists AS (SELECT vec_id, {dist_aggs} FROM pr GROUP BY vec_id),
+    asn AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, unnest({dlist}) AS d, unnest({jlist}) AS j FROM dists
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) = 1
+    ),
+    cand AS (SELECT vec_id FROM asn WHERE j IN ({probes})),
+    {_cosine_rerank_sql("cand")}
+    """
+
+
+def _winnow_sql() -> str:
+    from sparkts.operators.text import WINNOW_MOD, WINNOW_P
+
+    k, window = 28, 6
+    powers = [pow(WINNOW_P, j, WINNOW_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, p + {j}, 1)) * {powers[k - 1 - j]}::BIGINT"
+        for j in range(k))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text, length(text) AS L FROM documents WHERE doc_id < 300
+    ),
+    pos AS (
+      SELECT doc_id, text, L, unnest(range(1, L - {k} + 2))::INT AS p
+      FROM docs WHERE L >= {k}
+    ),
+    gram AS (
+      SELECT doc_id, p, ({terms}) % {WINNOW_MOD} AS h, (L - {k} + 1) AS m
+      FROM pos
+    ),
+    wmin AS (
+      SELECT doc_id, p, m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wm
+      FROM gram
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wm AS fingerprint
+      FROM wmin WHERE m > {window} AND p <= m - {window} + 1
+      UNION
+      SELECT doc_id, min(h) AS fingerprint
+      FROM gram GROUP BY doc_id HAVING max(m) <= {window}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """
+
+
+# Sparse daily error-count panel (per-user), the intermittent oracle's input:
+# mirrors q_intermittent_fc's gap-filled zero spine.
+_SPARSE_CTE = """
+sparse AS (
+  SELECT (user_id % 97) AS unique_id, date_trunc('day', ts) AS ds,
+         count(*)::DOUBLE AS y
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+sbounds AS (SELECT unique_id, min(ds) lo, max(ds) hi FROM sparse GROUP BY 1),
+sspine AS (
+  SELECT b.unique_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS ds
+  FROM sbounds b
+),
+spanel AS (
+  SELECT s.unique_id, s.ds, coalesce(a.y, 0.0) AS y
+  FROM sspine s LEFT JOIN sparse a
+    ON a.unique_id = s.unique_id AND a.ds = s.ds
+)
+"""
+
+
+def _ses_closed_form(val: str, pos: str, n: str, alpha: float) -> str:
+    """SQL term for the SES(α) level after n steps: the power-weight closed
+    form of l_t = α·y_t + (1−α)·l_{t−1}, l_0 = y_0 (kernels/scan.py)."""
+    c = 1.0 - alpha
+    return (f"sum(CASE WHEN {pos} = 1 THEN power({c!r}, {n} - 1) * {val} "
+            f"ELSE {alpha!r} * power({c!r}, {n} - {pos}) * {val} END)")
+
+
+def _intermittent_sql() -> str:
+    ses_d = _ses_closed_form("y", "dn", "nd", 0.1)
+    ses_i = _ses_closed_form("iv", "dn", "nd", 0.1)
+    ses_p = _ses_closed_form("(y <> 0)::INT::DOUBLE", "rn", "n", 0.2)
+    ses_t = _ses_closed_form("y", "dn", "nd", 0.2)
+    return f"""
+    WITH {_SPARSE_CTE},
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n
+      FROM spanel
+    ),
+    nz AS (
+      SELECT unique_id, rn, y,
+             row_number() OVER (PARTITION BY unique_id ORDER BY rn) dn,
+             count(*) OVER (PARTITION BY unique_id) nd
+      FROM idx WHERE y > 0
+    ),
+    ivals AS (
+      SELECT unique_id, dn, nd,
+             (rn - coalesce(lag(rn) OVER (PARTITION BY unique_id ORDER BY dn), 0))::DOUBLE AS iv
+      FROM nz
+    ),
+    dses AS (SELECT unique_id, {ses_d} AS pd FROM nz GROUP BY 1),
+    ises AS (SELECT unique_id, {ses_i} AS pi FROM ivals GROUP BY 1),
+    pses AS (SELECT unique_id, {ses_p} AS pf FROM idx GROUP BY 1),
+    tses AS (SELECT unique_id, {ses_t} AS tdf FROM nz GROUP BY 1),
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM spanel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + INTERVAL 1 DAY AS ds,
+           round(d.pd / i.pi, 6) AS croston_classic,
+           round(0.95 * d.pd / i.pi, 6) AS croston_sba,
+           round(p.pf * t.tdf, 6) AS tsb
+    FROM lastd l
+    JOIN dses d USING (unique_id)
+    JOIN ises i USING (unique_id)
+    JOIN pses p USING (unique_id)
+    JOIN tses t USING (unique_id)
+    """
+
+
+def _smoothing_sql() -> str:
+    ses = _ses_closed_form("y", "rn", "n", 0.3)
+    ses_phase = _ses_closed_form("y", "dn", "ndp", 0.3)
+    return f"""
+    WITH {_PANEL_CTE},
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM panel
+    ),
+    sesfc AS (SELECT unique_id, {ses} AS ses_fc FROM idx GROUP BY 1),
+    -- per-phase subseries: phase i's members are positions p = rn-1 with
+    -- p >= n%24 and (p - n%24) % 24 = i (kernels/smoothing.py phase align)
+    ph AS (
+      SELECT unique_id, y, ((rn - 1) - (n % 24)) % 24 AS i,
+             row_number() OVER (
+               PARTITION BY unique_id, ((rn - 1) - (n % 24)) % 24
+               ORDER BY rn) AS dn,
+             count(*) OVER (
+               PARTITION BY unique_id, ((rn - 1) - (n % 24)) % 24) AS ndp
+      FROM idx WHERE rn - 1 >= n % 24
+    ),
+    sval AS (SELECT unique_id, i, {ses_phase} AS sv FROM ph GROUP BY 1, 2),
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM panel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + to_hours(s) AS ds,
+           round(f.ses_fc, 6) AS ses,
+           round(v.sv, 6) AS seasonal_es
+    FROM lastd l
+    JOIN sesfc f USING (unique_id),
+    unnest(generate_series(1, 4)) t(s)
+    JOIN sval v ON v.unique_id = l.unique_id AND v.i = (s - 1) % 24
+    """
+
+
+def _arima_drift_sql() -> str:
+    z90 = norm_ppf(0.95)
+    return f"""
+    WITH dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT unique_id,
+             y - lag(y) OVER (PARTITION BY unique_id ORDER BY ds) AS dz
+      FROM dpanel
+    ),
+    st AS (
+      -- CSS for the pure-drift model: mu = mean(dz); sigma² = SSE/nu is the
+      -- population variance of dz (kernels/arima.py closed form)
+      SELECT unique_id, avg(dz) AS mu, sqrt(var_pop(dz)) AS sigma
+      FROM d WHERE dz IS NOT NULL GROUP BY unique_id
+    ),
+    lastv AS (
+      SELECT unique_id, max(ds) AS last_ds, arg_max(y, ds) AS y_last
+      FROM dpanel GROUP BY 1
+    )
+    SELECT l.unique_id, l.last_ds + to_days(s::INT) AS ds,
+           round(l.y_last + st.mu * s, 4) AS arima_fc,
+           round(l.y_last + st.mu * s - {z90!r} * st.sigma * sqrt(s), 4) AS arima_lo90,
+           round(l.y_last + st.mu * s + {z90!r} * st.sigma * sqrt(s), 4) AS arima_hi90
+    FROM lastv l JOIN st USING (unique_id),
+         unnest(generate_series(1, 7)) t(s)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1222,5 +1715,136 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(dot / (nx * nq), 6) AS cos_sim
             FROM dots WHERE round(dot / (nx * nq), 6) >= 0.1
+        """,
+        "minhash_pairs": f"""
+            WITH {_minhash_ctes()}
+            SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard
+            FROM mh_pairs
+        """,
+        "simhash_pairs": _simhash_sql(),
+        "lsh_ann": _lsh_ann_sql(_oracle_sf_dir()),
+        "ivf_ann": _ivf_ann_sql(_oracle_sf_dir()),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_ctes()},
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+              UNION
+              SELECT doc_b, doc_a FROM mh_pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM edges e JOIN reach r ON e.s = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
+        """,
+        "intermittent_fc": _intermittent_sql(),
+        "smoothing_fc": _smoothing_sql(),
+        "arima_fc": _arima_drift_sql(),
+        "media_features": """
+            WITH b AS (
+              SELECT doc_id, length(text)::INT AS n_bytes,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS base
+              FROM documents
+            )
+            SELECT doc_id, n_bytes,
+                   round((((base * 1) % 16777216) + ((base * 2) % 16777216)
+                        + ((base * 3) % 16777216) + ((base * 4) % 16777216)
+                        + ((base * 5) % 16777216) + ((base * 6) % 16777216)
+                        + ((base * 7) % 16777216) + ((base * 8) % 16777216))
+                         / 16777216.0, 4) AS feat_sum
+            FROM b
+        """,
+        "winnow_pairs": _winnow_sql(),
+        "cv_exog": """
+            WITH tier AS (
+              SELECT event_type AS unique_id, date_trunc('hour', ts) AS bucket,
+                     sum(value) AS y, count(value)::DOUBLE AS x
+              FROM events GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY bucket) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM tier
+            ),
+            cuts AS (
+              SELECT DISTINCT unique_id, n, n - 12 + w * 6 AS cut_rn
+              FROM idx, unnest(generate_series(0, 1)) t(w)
+            ),
+            fits AS (
+              SELECT c.unique_id, c.cut_rn,
+                     regr_intercept(i.y, i.x) AS b0, regr_slope(i.y, i.x) AS b1
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn <= c.cut_rn
+              GROUP BY 1, 2
+            ),
+            ct AS (
+              SELECT c.unique_id, c.cut_rn, i.bucket AS cutoff
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn = c.cut_rn
+            )
+            SELECT i.unique_id, i.bucket AS ds, ct.cutoff,
+                   round(i.y, 4) AS y,
+                   round(f.b0 + f.b1 * i.x, 4) AS ols_cv
+            FROM ct
+            JOIN idx i ON i.unique_id = ct.unique_id
+                      AND i.rn > ct.cut_rn AND i.rn <= ct.cut_rn + 6
+            JOIN fits f ON f.unique_id = ct.unique_id AND f.cut_rn = ct.cut_rn
+        """,
+        "fitted_pi": f"""
+            WITH {_PANEL_CTE},
+            d AS (
+              SELECT unique_id, ds, y,
+                     lag(y) OVER (PARTITION BY unique_id ORDER BY ds) AS fitted
+              FROM panel
+            ),
+            sg AS (
+              SELECT unique_id, sqrt(sum((y - fitted)^2) / count(*)) AS sigma
+              FROM d WHERE fitted IS NOT NULL GROUP BY 1
+            )
+            SELECT d.unique_id, d.ds, round(d.y, 4) AS y,
+                   round(d.fitted, 4) AS naive_fitted,
+                   round(d.fitted - {norm_ppf(0.975)!r} * g.sigma, 4) AS naive_lo95,
+                   round(d.fitted + {norm_ppf(0.975)!r} * g.sigma, 4) AS naive_hi95
+            FROM d JOIN sg g USING (unique_id)
+        """,
+        "cv_fitted": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM panel
+            ),
+            cuts AS (
+              SELECT DISTINCT unique_id, n, n - 24 + w * 12 AS cut_rn
+              FROM idx, unnest(generate_series(0, 1)) t(w)
+            ),
+            ct AS (
+              SELECT c.unique_id, c.cut_rn, i.ds AS cutoff
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn = c.cut_rn
+            )
+            SELECT i.unique_id, i.ds, ct.cutoff, round(i.y, 4) AS y,
+                   round(lg.y, 4) AS naive_fitted
+            FROM ct
+            JOIN idx i ON i.unique_id = ct.unique_id AND i.rn <= ct.cut_rn
+            LEFT JOIN idx lg ON lg.unique_id = ct.unique_id AND lg.rn = i.rn - 1
+        """,
+        "seasonal_window_avg": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM panel
+            ),
+            savg AS (
+              SELECT unique_id, ((rn - n - 1) % 24 + 24) % 24 AS j, avg(y) AS m
+              FROM idx WHERE rn > n - 168 GROUP BY 1, 2
+            ),
+            lastd AS (SELECT unique_id, max(ds) AS last_ds FROM panel GROUP BY 1)
+            SELECT l.unique_id, l.last_ds + to_hours(s) AS ds,
+                   round(v.m, 6) AS seas_wavg
+            FROM lastd l, unnest(generate_series(1, 24)) t(s)
+            JOIN savg v ON v.unique_id = l.unique_id AND v.j = (s - 1) % 24
         """,
     }

@@ -168,8 +168,22 @@ def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
     return np.clip(out, -0.9, 0.9)
 
 
-def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
-    """Estimate ARMA on the (already differenced) series z by CSS."""
+def _param_names(p, q, P, Q, use_mean):
+    """Coefficient names in _expand_params order (reference naming: ar1…,
+    ma1…, sar1…, sma1…, mean)."""
+    return ([f"ar{i}" for i in range(1, p + 1)]
+            + [f"ma{i}" for i in range(1, q + 1)]
+            + [f"sar{i}" for i in range(1, P + 1)]
+            + [f"sma{i}" for i in range(1, Q + 1)]
+            + (["mean"] if use_mean else []))
+
+
+def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None):
+    """Estimate ARMA on the (already differenced) series z by CSS.
+
+    ``fixed`` pins named coefficients (reference ARIMA's ``fixed`` dict,
+    models.py:1923 signature): pinned coordinates are excluded from the
+    optimizer; with everything pinned the fit is a single evaluation."""
     nparam = p + q + P + Q + int(use_mean)
     n = z.size
     if n <= nparam + 1 or n <= p + m * P + 1:
@@ -183,16 +197,43 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
                 "loglik": -0.5 * nu * (np.log(2 * np.pi * sse / max(nu, 1)) + 1),
                 "nparam": 1, "resid_start": z.size - nu}
 
-    lo = np.full(nparam, -0.99)
-    hi = np.full(nparam, 0.99)
+    names = _param_names(p, q, P, Q, use_mean)
+    fixed = dict(fixed or {})
+    unknown = set(fixed) - set(names)
+    if unknown:
+        raise ValueError(f"fixed refers to unknown coefficients {sorted(unknown)}; "
+                         f"valid names: {names}")
+    fixed_full = np.array([fixed.get(nm, np.nan) for nm in names])
+    free = np.isnan(fixed_full)
+
+    if p + q + P + Q == 0 and "mean" not in fixed:
+        # pure mean/drift model: the CSS minimizer is the sample mean —
+        # closed form, no optimizer (keeps ARIMA(0,d,0)+constant exact)
+        mu = float(np.mean(z))
+        e = z - mu
+        sse = float(np.dot(e, e))
+        nu = e.size
+        sigma2 = sse / max(nu, 1)
+        return {"coef": np.array([mu]), "mu": mu, "sigma2": sigma2,
+                "loglik": -0.5 * nu * (np.log(2 * np.pi * sigma2) + 1),
+                "nparam": 2, "ar": np.array([1.0]), "ma": np.array([1.0]),
+                "parts": (np.empty(0),) * 4, "resid": e, "resid_start": 0}
+
+    lo_full = np.full(nparam, -0.99)
+    hi_full = np.full(nparam, 0.99)
     mu0 = float(np.mean(z)) if use_mean else 0.0
     if use_mean:
         span = max(float(np.max(np.abs(z))), 1e-6) * 10
-        lo[-1], hi[-1] = -span, span
+        lo_full[-1], hi_full[-1] = -span, span
 
-    def objective(x):
+    # stationarity/invertibility admissibility applies to coefficients the
+    # OPTIMIZER searches; user-pinned AR/MA coefficients are taken as given
+    # (reference fixed-params semantics — R arima only warns)
+    check_roots = bool(free[: p + q + P + Q].any())
+
+    def objective_full(x):
         ar, ma, mu, parts = _expand_params(x, p, q, P, Q, m, use_mean)
-        if not (_roots_ok(ar) and _roots_ok(ma)):
+        if check_roots and not (_roots_ok(ar) and _roots_ok(ma)):
             return np.inf
         e = _css_resid(z - mu, ar, ma)
         sse = float(np.dot(e, e))
@@ -207,37 +248,65 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500):
     x0[: p + q + P + Q] = _hr_init(z - mu0, p, q, P, Q, m)
     if use_mean:
         x0[-1] = mu0
-    for _ in range(6):
-        if np.isfinite(objective(x0)):
-            break
-        x0[: p + q + P + Q] *= 0.5
-    else:
-        x0[: p + q + P + Q] = 0.0
+    x0[~free] = fixed_full[~free]
 
-    # zero_pert must span the coefficient box (±0.99), not the reference's
-    # 1e-4 curve-fitting default: with the mean coordinate spanning ±10·max|z|
-    # a 1e-4 step on the AR/MA coords degenerates the simplex and NM returns
-    # phi≈0 on persistent series (AR(1) phi=0.95 repro in round-2 ADVICE).
-    xb, fb = nelder_mead(objective, x0, lo, hi, max_iter=maxiter,
-                         tol_std=1e-8, zero_pert=0.1)
-    # incumbent restarts (same remedy garch_fit uses): re-seed the simplex
-    # at the best point with a wide step until no further improvement
-    for _ in range(3):
-        cand, fcand = nelder_mead(objective, xb, lo, hi, max_iter=maxiter,
-                                  tol_std=1e-8, init_step=0.25, zero_pert=0.1)
-        if fcand >= fb - 1e-10:
-            break
-        xb, fb = cand, fcand
-    if not np.isfinite(fb):
-        return None
-    ar, ma, mu, parts = _expand_params(xb, p, q, P, Q, m, use_mean)
+    all_arma_fixed = not free[: p + q + P + Q].any()
+    if all_arma_fixed and use_mean and "mean" not in fixed:
+        # every AR/MA coefficient pinned → CSS over mu alone is flat (or
+        # near-flat when ar(1)≈0); take mu = mean(z), the R convention of
+        # centering before the ARMA recursion
+        fixed_full[-1] = float(np.mean(z))
+        free[-1] = False
+
+    if not free.any():
+        x_full = fixed_full.copy()
+        fb = objective_full(x_full)
+        if not np.isfinite(fb):
+            return None
+    else:
+        def objective(x_free):
+            x = fixed_full.copy()
+            x[free] = x_free
+            return objective_full(x)
+
+        for _ in range(6):
+            if np.isfinite(objective(x0[free])):
+                break
+            x0[: p + q + P + Q][free[: p + q + P + Q]] *= 0.5
+        else:
+            x0[: p + q + P + Q][free[: p + q + P + Q]] = 0.0
+
+        # zero_pert must span the coefficient box (±0.99), not the
+        # reference's 1e-4 curve-fitting default: with the mean coordinate
+        # spanning ±10·max|z| a 1e-4 step on the AR/MA coords degenerates
+        # the simplex and NM returns phi≈0 on persistent series (AR(1)
+        # phi=0.95 repro in round-2 ADVICE).
+        xb, fb = nelder_mead(objective, x0[free], lo_full[free],
+                             hi_full[free], max_iter=maxiter,
+                             tol_std=1e-8, zero_pert=0.1)
+        # incumbent restarts (same remedy garch_fit uses): re-seed the
+        # simplex at the best point with a wide step until no improvement
+        for _ in range(3):
+            cand, fcand = nelder_mead(objective, xb, lo_full[free],
+                                      hi_full[free], max_iter=maxiter,
+                                      tol_std=1e-8, init_step=0.25,
+                                      zero_pert=0.1)
+            if fcand >= fb - 1e-10:
+                break
+            xb, fb = cand, fcand
+        if not np.isfinite(fb):
+            return None
+        x_full = fixed_full.copy()
+        x_full[free] = xb
+
+    ar, ma, mu, parts = _expand_params(x_full, p, q, P, Q, m, use_mean)
     e = _css_resid(z - mu, ar, ma)
     nu = max(e.size, 1)
     sse = float(np.dot(e, e))
     sigma2 = sse / nu
     loglik = -0.5 * nu * (np.log(2 * np.pi * sigma2) + 1)
-    return {"coef": xb, "mu": mu, "sigma2": sigma2, "loglik": loglik,
-            "nparam": nparam + 1, "ar": ar, "ma": ma, "parts": parts,
+    return {"coef": x_full, "mu": mu, "sigma2": sigma2, "loglik": loglik,
+            "nparam": int(free.sum()) + 1, "ar": ar, "ma": ma, "parts": parts,
             "resid": e, "resid_start": z.size - e.size}
 
 
@@ -335,7 +404,7 @@ def _psi_weights(ar_full: np.ndarray, ma: np.ndarray, h: int) -> np.ndarray:
 
 
 def arima_fit(y, order, seasonal_order=(0, 0, 0), m=1, include_mean=None,
-              maxiter=500):
+              maxiter=500, fixed=None):
     p, d, q = order
     P, D, Q = seasonal_order
     if m <= 1:
@@ -343,7 +412,7 @@ def arima_fit(y, order, seasonal_order=(0, 0, 0), m=1, include_mean=None,
     y = np.asarray(y, dtype=np.float64)
     z = _difference(y, d, D, m)
     use_mean = (d + D == 0) if include_mean is None else bool(include_mean)
-    fit = _fit_css(z, p, q, P, Q, m, use_mean, maxiter=maxiter)
+    fit = _fit_css(z, p, q, P, Q, m, use_mean, maxiter=maxiter, fixed=fixed)
     if fit is None:
         return None
     fit.update({"order": (p, d, q), "seasonal": (P, D, Q), "m": m,
@@ -597,16 +666,19 @@ class ARIMA(Model):
 
     def __init__(self, order=(0, 0, 0), season_length: int = 1,
                  seasonal_order=(0, 0, 0), include_mean: bool | None = None,
-                 alias: str | None = None):
+                 fixed: dict | None = None, alias: str | None = None):
         super().__init__(alias or "ARIMA")
         self.order = tuple(order)
         self.seasonal_order = tuple(seasonal_order)
         self.m = max(int(season_length), 1)
         self.include_mean = include_mean
+        #: pinned coefficients by name (ar1…, ma1…, sar1…, sma1…, mean) —
+        #: reference ARIMA's `fixed` argument (models.py:1923)
+        self.fixed = dict(fixed) if fixed else None
 
     def _fit(self, y):
         fit = arima_fit(y, self.order, self.seasonal_order, self.m,
-                        include_mean=self.include_mean)
+                        include_mean=self.include_mean, fixed=self.fixed)
         if fit is None:
             raise ValueError(
                 f"{self.alias}: series too short for order {self.order}x"
@@ -687,9 +759,22 @@ class AutoARIMA(Model):
 
 
 class AutoRegressive(ARIMA):
-    """AR(lags) = ARIMA(p,0,0) special case (reference models.py:2170)."""
+    """AR(lags) = ARIMA(p,0,0) special case (reference models.py:2170).
 
-    def __init__(self, lags: int, include_mean: bool = True,
-                 alias: str | None = None):
-        super().__init__((int(lags), 0, 0), include_mean=include_mean,
+    ``lags`` may be an int (all lags 1..p) or a list of specific lags —
+    the reference accepts both; with a list, unlisted lags are pinned to 0
+    (the reference builds the same sparse AR design)."""
+
+    def __init__(self, lags, include_mean: bool = True,
+                 fixed: dict | None = None, alias: str | None = None):
+        if isinstance(lags, (list, tuple)):
+            wanted = sorted(int(l) for l in lags)
+            p = wanted[-1] if wanted else 0
+            fixed = dict(fixed or {})
+            for j in range(1, p + 1):
+                if j not in wanted and f"ar{j}" not in fixed:
+                    fixed[f"ar{j}"] = 0.0
+        else:
+            p = int(lags)
+        super().__init__((p, 0, 0), include_mean=include_mean, fixed=fixed,
                          alias=alias or "AutoRegressive")

@@ -16,11 +16,12 @@ cesupdate/cesfcst; init states ces.py:27-52; bounds/seeds ces.py:110-190):
   seeds α=(1.3, 1.0), β=(0.1) for P / (1.3, 1.0) for F;
 * 'Z' selects over {N,S,P,F} by AICc; m<2 or n<2m forces N.
 
-Deviation (documented): the reference refines initial states with a
-backfit (reverse) pass; here initial states stay at their heuristic values
-— AICc ranking and forecasts agree to well within interval widths on the
-reference's test fixtures. Intervals: h-step sigma from zero-error path
-dispersion of simulated gaussian innovations (the reference also simulates;
+Round 2: the reference's BACKFIT refinement (src/ces.cpp:218-278 — forward
+→ reverse → forward passes that re-derive both ends' initial states) is now
+implemented in _ces_calc; the nonseasonal state/forecast trajectories match
+the reference's R-derived goldens to 4 decimals (tests/test_goldens.py).
+Intervals: h-step sigma from dispersion of simulated gaussian innovation
+paths rolled out from the final states (the reference also simulates;
 ces.py:416-424).
 """
 
@@ -76,54 +77,103 @@ def _init_states(y: np.ndarray, m: int, season: int) -> np.ndarray:
     return st
 
 
-def _run(y, st0, m, season, a0, a1, b0, b1, h=0, noise=None):
-    """Forward CES pass; returns (e, f, final_block, fc) where fc is the
-    h-step zero-error (or noise-injected) forecast from the final states."""
-    lags = 1 if season == _N else m
+def _ces_update(buf, i, m_eff, season, a0, a1, b0, b1, y_i):
+    """One state transition given observation y_i (reference src/ces.cpp:37
+    cesupdate): the error is computed against the CURRENT one-step forecast,
+    then the complex pair (and seasonal components) roll forward."""
+    if season == _S:
+        e = y_i - buf[i - m_eff, 0]
+    else:
+        e = y_i - buf[i - 1, 0]
+    if season > _S:
+        e -= buf[i - m_eff, 2]
+    j = i - m_eff if season == _S else i - 1
+    s0, s1 = buf[j, 0], buf[j, 1]
+    buf[i, 0] = s0 - (1 - a1) * s1 + (a0 - a1) * e
+    buf[i, 1] = s0 + (1 - a0) * s1 + (a0 + a1) * e
+    if season == _P:
+        buf[i, 2] = buf[i - m_eff, 2] + b0 * e
+    elif season == _F:
+        s2, s3 = buf[i - m_eff, 2], buf[i - m_eff, 3]
+        buf[i, 2] = s2 - (1 - b1) * s3 + (b0 - b1) * e
+        buf[i, 3] = s2 + (1 - b0) * s3 + (b0 + b1) * e
+
+
+def _ces_fcst(states, i, m_eff, season, h, a0, a1, b0, b1, noise=None):
+    """h-step rollout from row i (reference cesfcst_buf): the observation
+    fed back is the forecast itself (plus optional innovation noise), so the
+    internal error is zero (or the injected noise). Returns (f, tmp) where
+    tmp rows m_eff.. hold the propagated future states."""
+    ncomp = states.shape[1]
+    tmp = np.zeros((m_eff + h, ncomp))
+    tmp[:m_eff] = states[i - m_eff: i]
+    f = np.empty(h)
+    for ih in range(m_eff, m_eff + h):
+        if season == _S:
+            fi = tmp[ih - m_eff, 0]
+        else:
+            fi = tmp[ih - 1, 0]
+        if season > _S:
+            fi += tmp[ih - m_eff, 2]
+        if noise is not None:
+            fi += noise[ih - m_eff]
+        f[ih - m_eff] = fi
+        _ces_update(tmp, ih, m_eff, season, a0, a1, b0, b1, fi)
+    return f, tmp
+
+
+def _ces_calc(y, st0, m_eff, season, a0, a1, b0, b1, nmse=3, backfit=True):
+    """Full CES filter with the reference's BACKFIT refinement
+    (src/ces.cpp:218-278 cescalc): forward pass → reverse y/states →
+    backward pass → forward pass again, each pass re-deriving the opposite
+    end's initial states from the trailing forecast states. Returns
+    (lik, e, amse, buf) with lik = n·log Σe² of the final pass and buf the
+    (m_eff + n + m_eff)-row state matrix in forward orientation."""
     n = y.size
     ncomp = st0.shape[1]
-    buf = np.empty((lags + n + max(h, lags), ncomp))
-    buf[:lags] = st0
-    e = np.empty(n)
-    f = np.empty(n)
+    buf = np.zeros((n + 2 * m_eff, ncomp))
+    buf[:m_eff] = st0
+    e = np.full(n, np.nan)
+    amse = np.zeros(nmse)
+    denom = np.zeros(nmse)
 
-    def update(i, err):
-        j = i - 1 if season != _S else i - lags
-        s0, s1 = buf[j, 0], buf[j, 1]
-        buf[i, 0] = s0 - (1 - a1) * s1 + (a0 - a1) * err
-        buf[i, 1] = s0 + (1 - a0) * s1 + (a0 + a1) * err
-        if season == _P:
-            buf[i, 2] = buf[i - lags, 2] + b0 * err
-        elif season == _F:
-            s2, s3 = buf[i - lags, 2], buf[i - lags, 3]
-            buf[i, 2] = s2 - (1 - b1) * s3 + (b0 - b1) * err
-            buf[i, 3] = s2 + (1 - b0) * s3 + (b0 + b1) * err
+    def one_pass(yv):
+        lik = 0.0
+        for t in range(n):
+            i = m_eff + t
+            f, _ = _ces_fcst(buf, i, m_eff, season, nmse, a0, a1, b0, b1)
+            e[t] = yv[t] - f[0]
+            for j in range(nmse):
+                if t + j < n:
+                    denom[j] += 1.0
+                    tmp = yv[t + j] - f[j]
+                    amse[j] = (amse[j] * (denom[j] - 1.0) + tmp * tmp) / denom[j]
+            _ces_update(buf, i, m_eff, season, a0, a1, b0, b1, yv[t])
+            lik += e[t] * e[t]
+        return lik
 
-    for t in range(n):
-        i = lags + t
-        if season == _S:
-            fi = buf[i - lags, 0]
-        else:
-            fi = buf[i - 1, 0]
-            if season > _S:
-                fi += buf[i - lags, 2]
-        f[t] = fi
-        e[t] = y[t] - fi
-        update(i, e[t])
+    def update_trailing():
+        _, tmp = _ces_fcst(buf, n + m_eff, m_eff, season, m_eff,
+                           a0, a1, b0, b1)
+        buf[n + m_eff:] = tmp[m_eff:]
 
-    fc = np.empty(h)
-    for k in range(h):
-        i = lags + n + k
-        if season == _S:
-            fi = buf[i - lags, 0]
-        else:
-            fi = buf[i - 1, 0]
-            if season > _S:
-                fi += buf[i - lags, 2]
-        err = 0.0 if noise is None else noise[k]
-        fc[k] = fi + err
-        update(i, err)
-    return e, f, buf, fc
+    lik = one_pass(y)
+    if not np.isfinite(lik):
+        return np.inf, e, amse, buf
+    update_trailing()
+    if backfit:
+        y_rev = y[::-1].copy()
+        buf[:] = buf[::-1]
+        lik = one_pass(y_rev)
+        if not np.isfinite(lik):
+            return np.inf, e, amse, buf
+        update_trailing()
+        buf[:] = buf[::-1]
+        lik = one_pass(y)
+        if not np.isfinite(lik):
+            return np.inf, e, amse, buf
+        update_trailing()
+    return n * np.log(lik) if lik > 0 else -np.inf, e, amse, buf
 
 
 def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600) -> dict | None:
@@ -134,7 +184,7 @@ def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600) -> dict 
     ncomp = 2 + (season == _P) + 2 * (season == _F)
     if n <= ncomp + 1 or n < 2 * m_eff:
         return None
-    st0 = _init_states(y, m_eff, season)
+    st0 = _init_states(y, m, season)  # reference passes the SEASON length even for N (idx = min(max(10, m), n))
 
     # free params per season type (reference initparamces, ces.py:110-190)
     names = ["alpha_0", "alpha_1"]
@@ -157,26 +207,26 @@ def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600) -> dict 
 
     def objective(x):
         a0, a1, b0, b1 = params(x)
-        e, *_ = _run(y, st0, m_eff, season, a0, a1, b0, b1)
-        sse = float(np.dot(e, e))
-        if not np.isfinite(sse) or sse <= 0:
-            return np.inf
-        return n * np.log(sse)
+        lik, *_ = _ces_calc(y, st0, m_eff, season, a0, a1, b0, b1)
+        return lik if np.isfinite(lik) else np.inf
 
     xb, fb = nelder_mead(objective, np.array(x0), lo, hi,
                          max_iter=maxiter, tol_std=1e-7)
     if not np.isfinite(fb):
         return None
     a0, a1, b0, b1 = params(xb)
-    e, f, buf, _ = _run(y, st0, m_eff, season, a0, a1, b0, b1)
-    lik = n * np.log(float(np.dot(e, e)))
+    lik, e, amse, buf = _ces_calc(y, st0, m_eff, season, a0, a1, b0, b1)
+    if not np.isfinite(lik):
+        return None
+    f = y - e
     np_ = ncomp + 1
     aic = lik + 2 * np_
     aicc = aic + (2 * np_ * (np_ + 1) / (n - np_ - 1) if n - np_ - 1 > 0 else np.inf)
     sigma2 = float(np.dot(e, e)) / max(n - np_ - 1, 1)
     return {"season": season, "m": m_eff, "params": (a0, a1, b0, b1),
-            "st0": st0, "fitted": f, "resid": e, "lik": lik, "aic": aic,
-            "aicc": aicc, "sigma2": sigma2, "n": n, "seasontype": season_str}
+            "st0": st0, "states": buf, "fitted": f, "resid": e, "lik": lik,
+            "aic": aic, "aicc": aicc, "sigma2": sigma2, "n": n,
+            "seasontype": season_str}
 
 
 def auto_ces(y: np.ndarray, m: int, model: str = "Z") -> dict:
@@ -218,17 +268,17 @@ class AutoCES(Model):
     def _forecast(self, y, h, fitted):
         fit = auto_ces(y, self.m, self.model)
         a0, a1, b0, b1 = fit["params"]
-        yy = np.asarray(y, dtype=np.float64)
-        _, _, _, mean = _run(yy, fit["st0"], fit["m"], fit["season"],
-                             a0, a1, b0, b1, h=h)
-        # sigma via simulated zero-mean innovation paths through the recursion
+        buf, m_eff, season = fit["states"], fit["m"], fit["season"]
+        n = fit["n"]
+        mean, _ = _ces_fcst(buf, n + m_eff, m_eff, season, h, a0, a1, b0, b1)
+        # sigma via simulated innovation paths rolled out from the FINAL
+        # states (the fit is shared; only the future innovations vary)
         rng = np.random.RandomState(1)
         scale = np.sqrt(max(fit["sigma2"], 1e-300))
         paths = np.empty((200, h))
         for p in range(paths.shape[0]):
             noise = rng.normal(0.0, scale, h)
-            _, _, _, fc = _run(yy, fit["st0"], fit["m"], fit["season"],
-                               a0, a1, b0, b1, h=h, noise=noise)
-            paths[p] = fc
+            paths[p], _ = _ces_fcst(buf, n + m_eff, m_eff, season, h,
+                                    a0, a1, b0, b1, noise=noise)
         sigmah = paths.std(axis=0)
         return mean, sigmah, fit["fitted"]

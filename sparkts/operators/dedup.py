@@ -51,23 +51,56 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return toks.select(id_col, F.explode(F.expr(expr)).alias("shingle")).distinct()
 
 
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
+    """Seeded universal-hash family (a_i, b_i): h_i(x) = (a_i·x + b_i) mod p.
+
+    Deterministic and engine-agnostic: the same coefficients drive the Spark
+    plan and a plain-SQL oracle. Products stay < 2^61 because the base hash
+    is truncated to 30 bits, so no engine needs wrap-around arithmetic."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MINHASH_P, size=n_hashes)
+    b = rng.randint(0, _MINHASH_P, size=n_hashes)
+    return [(int(a[i]), int(b[i])) for i in range(n_hashes)]
+
+
+def minhash_base_col(shingle_col: str = "shingle") -> F.Column:
+    """30-bit base hash of a shingle: first 8 hex chars of md5, mod 2^30.
+
+    md5-derived (not xxhash64) so an external SQL engine can reproduce it
+    exactly; md5 + conv are JVM codegen'd expressions, still no UDF."""
+    return (
+        F.conv(F.substring(F.md5(F.col(shingle_col)), 1, 8), 16, 10)
+        .cast("long") % F.lit(2**30)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 64,
     shingle_k: int = 2,
+    seed: int = 13,
 ) -> DataFrame:
     """Per-doc MinHash signature: array<long> of length n_hashes.
 
-    Hash family i = xxhash64(i, shingle) (seeded literal, deterministic).
+    Hash family i = (a_i·base + b_i) mod p over the md5-derived 30-bit base
+    shingle hash (universal hashing; same family expressible in any SQL
+    engine, which is how the driver oracle value-checks this pipeline).
     Computed as n_hashes MIN aggregates over the exploded shingle relation —
     one shuffle on id, everything codegen'd.
     """
     sh = word_shingles(df, id_col, text_col, shingle_k)
+    base = minhash_base_col("shingle").alias("hbase")
+    sh = sh.select(id_col, base)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("hbase") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes, seed))
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -88,9 +121,12 @@ def lsh_candidate_pairs(
     signature components (the unbiased MinHash estimator).
     """
     n = bands * rows_per_band
+    # band bucket key = the signature slice itself (stringified) — grouping
+    # semantics identical to hashing it, and reproducible in plain SQL
     band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        F.concat_ws(
+            ",", *[F.col("signature")[b * rows_per_band + r].cast("string")
+                   for r in range(rows_per_band)]
         ).alias(f"b{b}")
         for b in range(bands)
     ]
@@ -149,26 +185,33 @@ def minhash_dedup_pairs(
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
+SIMHASH_BITS = 60  # md5-derived token hash: 15 hex chars = 60 bits, so the
+# fingerprint stays a positive BIGINT in every SQL engine (the driver oracle
+# recomputes the whole pipeline in DuckDB)
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc: sign of the per-bit sum of token-hash bits.
+    """60-bit SimHash per doc: sign of the per-bit sum of token-hash bits.
 
-    Exploded token relation + 64 conditional-sum aggregates; one shuffle.
+    Exploded token relation + 60 conditional-sum aggregates; one shuffle.
     """
     toks = df.select(
         id_col, F.explode(tokenize(text_col)).alias("tok")
-    ).withColumn("th", F.xxhash64(F.lit(7), "tok"))
+    ).withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     sums = [
         F.sum(
             F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*sums)
     bit_terms = [
-        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-        for i in range(64)
+        F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+        for i in range(SIMHASH_BITS)
     ]
     fp = bit_terms[0]
     for t in bit_terms[1:]:
@@ -182,7 +225,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate pairs whose SimHashes agree on ≥1 of four 16-bit chunks,
+    """Candidate pairs whose SimHashes agree on ≥1 of four 15-bit chunks,
     verified by exact Hamming distance ≤ max_hamming."""
     fp = simhash(df, id_col, text_col)
     chunks = fp.select(
@@ -192,8 +235,8 @@ def simhash_near_dup_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned("simhash", c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("simhash", c * 15)
+                    .bitwiseAND(F.lit(0x7FFF))
                     .alias("val"),
                 )
                 for c in range(4)

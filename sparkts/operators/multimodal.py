@@ -65,14 +65,15 @@ def attach_media_meta(df: DataFrame, payload_col: str = "media") -> DataFrame:
 
 def _fake_decode(buf: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-decode: bytes → dim-float vector. Pure function
-    of content (so tests are partition-independent); NOT a real decoder."""
-    h = np.frombuffer(buf[: (len(buf) // 8) * 8], dtype=np.uint64)
-    if h.size == 0:
-        return np.zeros(dim, dtype=np.float32)
-    mix = (h[:, None] * np.uint64(0x9E3779B97F4A7C15)) ^ (
-        np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9)
-    )
-    return (mix.sum(axis=0) % np.uint64(1 << 24)).astype(np.float32) / float(1 << 24)
+    of content (so tests are partition-independent); NOT a real decoder.
+    feature_i = ((md5_32(buf)·(i+1)) mod 2^24) / 2^24 — md5-derived so the
+    driver's SQL oracle reproduces the values exactly (no wrap-around
+    arithmetic; products stay < 2^39)."""
+    import hashlib
+
+    base = int(hashlib.md5(buf).hexdigest()[:8], 16)
+    i = np.arange(1, dim + 1, dtype=np.int64)
+    return ((base * i) % (1 << 24)).astype(np.float32) / float(1 << 24)
 
 
 def decode_features(

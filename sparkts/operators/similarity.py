@@ -158,6 +158,23 @@ def embedding_near_dup_pairs(
 # IVF (inverted-file) ANN — the k-means-coarse-quantizer scale path
 # --------------------------------------------------------------------- #
 
+def lloyd_kmeans(sample: np.ndarray, n_lists: int, iters: int = 10,
+                 seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on an in-memory sample (seeded init,
+    fixed iteration count). Shared by the Spark trainer and any external
+    oracle that must reproduce identical centroids."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(sample.shape[0], n_lists, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_lists):
+            pts = sample[assign == j]
+            if pts.shape[0]:
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_lists: int = 16,
@@ -182,16 +199,7 @@ def train_ivf_centroids(
          .limit(sample_rows).collect()],
         dtype=np.float64,
     )
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(sample.shape[0], n_lists, replace=False)]
-    for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(n_lists):
-            pts = sample[assign == j]
-            if pts.shape[0]:
-                cent[j] = pts.mean(axis=0)
-    return cent
+    return lloyd_kmeans(sample, n_lists, iters, seed)
 
 
 def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> F.Column:

@@ -121,6 +121,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 # winnowing fingerprints (rolling hash)
 # --------------------------------------------------------------------- #
 
+WINNOW_MOD = 2147483647  # 2^31 - 1
+WINNOW_P = 999999937     # prime multiplier < 2^30 (keeps products < 2^61)
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,7 +140,10 @@ def winnow_fingerprints(
     documents sharing fingerprints (groupBy fingerprint → pairs), the same
     bucket-join shape as MinHash-LSH but with locality guarantees on exact
     substrings. Hashing is vectorized numpy inside one Arrow batch pass
-    (k scaled adds per doc, uint64 wraparound as the modulus).
+    (k scaled adds per doc), polynomial Karp-Rabin mod p = 2^31−1 with
+    multiplier P < 2^30 — every intermediate fits a signed 64-bit int, so
+    an external SQL engine reproduces the values exactly (the driver
+    oracle recomputes this per-position over char codes; ASCII assumed).
     """
     import numpy as np
     import pandas as pd
@@ -147,17 +153,16 @@ def winnow_fingerprints(
         df.schema[id_col],
         T.StructField("fingerprint", T.LongType(), False),
     ])
-    P = np.uint64(1099511628211)  # FNV-ish odd multiplier
 
     def per_doc(buf: bytes) -> np.ndarray:
-        b = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+        b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
         n = b.size
         if n < k:
-            return np.unique(b[:1]) if n else np.empty(0, dtype=np.uint64)
+            return np.unique(b[:1]) if n else np.empty(0, dtype=np.int64)
         m = n - k + 1
-        h = np.zeros(m, dtype=np.uint64)
+        h = np.zeros(m, dtype=np.int64)
         for j in range(k):
-            h = h * P + b[j : j + m]
+            h = (h * WINNOW_P + b[j : j + m]) % WINNOW_MOD
         if h.size <= window:
             sel = np.unique([h.min()])
         else:
@@ -171,7 +176,7 @@ def winnow_fingerprints(
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 sel = per_doc(str(txt).encode("utf-8"))
                 ids.extend([i] * sel.size)
-                fps.extend(sel.view(np.int64))
+                fps.extend(sel)
             yield pd.DataFrame({id_col: ids, "fingerprint": fps})
 
     return df.select(id_col, text_col).mapInPandas(mapper, schema)

@@ -20,6 +20,10 @@ TABLES = [
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
+    import os
+
+    # data-derived oracle literals (IVF centroids) must match the test scale
+    os.environ["SPARKTS_ORACLE_SF_DIR"] = sf_dir
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -266,21 +266,23 @@ class TestCES:
         assert fit3["seasontype"] == "N"
 
     def test_ces_update_equations(self):
-        # one hand-computed step of the N-type recursion
-        from sparkts.kernels.ces import _CODES, _init_states, _run
+        # one hand-computed step of the N-type recursion (no backfit so the
+        # initial state stays at its heuristic value)
+        from sparkts.kernels.ces import _CODES, _ces_calc, _init_states
 
         y = np.array([10.0, 12.0])
         st0 = _init_states(y, 1, _CODES["N"])
         a0, a1 = 1.3, 1.0
-        e, f, buf, _ = _run(y, st0, 1, _CODES["N"], a0, a1, 0, 0)
+        _, e, _, buf = _ces_calc(y, st0, 1, _CODES["N"], a0, a1, 0, 0,
+                                 backfit=False)
         l0, c0 = st0[0]
-        assert f[0] == pytest.approx(l0)
+        assert e[0] == pytest.approx(10.0 - l0)
         e0 = 10.0 - l0
         l1 = l0 - (1 - a1) * c0 + (a0 - a1) * e0
         c1 = l0 + (1 - a0) * c0 + (a0 + a1) * e0
         assert buf[1, 0] == pytest.approx(l1)
         assert buf[1, 1] == pytest.approx(c1)
-        assert f[1] == pytest.approx(l1)
+        assert e[1] == pytest.approx(12.0 - l1)
 
 
 class TestCSP:

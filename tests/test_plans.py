@@ -80,6 +80,10 @@ class TestCascadePlan:
 
 class TestEnginePlan:
     def test_forecast_single_extra_exchange(self, events):
+        # earlier tests may have persisted a tier with this exact logical
+        # plan (gap_fill auto-persist); the cache manager would substitute
+        # InMemoryTableScan and change the exchange count
+        events.sparkSession.catalog.clearCache()
         panel = rollup_base(events, "ts", ["event_type"], "value", "1h").select(
             F.col("event_type").alias("unique_id"),
             F.col("bucket").alias("ds"),
