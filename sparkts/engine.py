@@ -224,6 +224,126 @@ class SparkForecast:
         )
 
     # ------------------------------------------------------------------ #
+    def fit(
+        self,
+        df: DataFrame,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+        target_col: str = "y",
+    ) -> DataFrame:
+        """Fit every model per series and return a PERSISTABLE state table:
+        one row per (series, model) with the pickled parameter state and the
+        training series (the reference's save/load pickles the whole fitted
+        engine, core.py:1541-1649; here state is a first-class DataFrame so
+        it survives `write.parquet` and predict never rescans raw data).
+
+        Columns: id, model (alias), state (binary), last_ds, n_obs.
+        """
+        import pickle
+
+        from pyspark.sql import types as T
+
+        models, fallback = self.models, self.fallback_model
+        schema = T.StructType([
+            df.schema[id_col],
+            T.StructField("model", T.StringType(), False),
+            T.StructField("state", T.BinaryType(), False),
+            T.StructField(time_col, df.schema[time_col].dataType, True),
+            T.StructField("n_obs", T.LongType(), False),
+        ])
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            uid = pdf[id_col].iloc[0]
+            last = pdf[time_col].iloc[-1]
+            rows = []
+            for m in models:
+                try:
+                    state = m.fit_state(y)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    if fallback is None:
+                        raise
+                    state = {"__fallback__": True}
+                rows.append((uid, repr(m),
+                             pickle.dumps({"state": state, "y": y}), last,
+                             int(y.size)))
+            return pd.DataFrame(rows,
+                                columns=[id_col, "model", "state", time_col,
+                                         "n_obs"])
+
+        return (
+            _kernel_partitioned(
+                df.select(id_col, time_col, target_col), id_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+
+    def predict(
+        self,
+        states: DataFrame,
+        h: int,
+        level: list[int] | None = None,
+        id_col: str = "unique_id",
+        time_col: str = "ds",
+    ) -> DataFrame:
+        """Forecast from a persisted state table (the output of ``fit``,
+        possibly round-tripped through parquet): each model's ``forward``
+        re-applies the stored parameters to the stored series — no raw-data
+        scan, no re-optimization (reference predict-after-load semantics,
+        core.py:1541-1649)."""
+        import pickle
+
+        models, freq, fallback = self.models, self.freq, self.fallback_model
+        by_alias = {repr(m): m for m in models}
+        schema = forecast_schema(
+            states.schema[id_col], states.schema[time_col], models, level)
+        cols = [id_col, time_col] + model_columns(models, level)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            uid = pdf[id_col].iloc[0]
+            last = pdf[time_col].iloc[0]
+            future = _future_index(last, h, freq)
+            data = {id_col: np.repeat(uid, h), time_col: np.asarray(future)}
+            seen = set()
+            for _, row in pdf.iterrows():
+                alias = row["model"]
+                m = by_alias.get(alias)
+                if m is None:
+                    continue
+                seen.add(alias)
+                blob = pickle.loads(bytes(row["state"]))
+                y = blob["y"]
+                state = blob["state"]
+                try:
+                    if isinstance(state, dict) and state.get("__fallback__"):
+                        raise ValueError("fallback state")
+                    res = m.forward(state, y, h, level=level)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    if fallback is None:
+                        raise
+                    res = fallback.forecast(y, h, level=level)
+                data[alias] = np.asarray(res["mean"], dtype=np.float64)
+                for lv in sorted(level or []):
+                    data[f"{alias}-lo-{lv}"] = np.asarray(res[f"lo-{lv}"])
+                    data[f"{alias}-hi-{lv}"] = np.asarray(res[f"hi-{lv}"])
+            missing = [a for a in by_alias if a not in seen]
+            if missing:
+                raise ValueError(
+                    f"series {uid!r}: no stored state for models {missing}")
+            return pd.DataFrame(data)[cols]
+
+        return (
+            _kernel_partitioned(states, id_col)
+            .groupBy(id_col)
+            .applyInPandas(kernel, schema)
+        )
+
+    # ------------------------------------------------------------------ #
     def fitted_values(
         self,
         df: DataFrame,

@@ -4,16 +4,23 @@ The reference wraps statsmodels' UnobservedComponents behind a Kalman
 filter (reference ucm.py:47-549, convenience classes LocalLevel /
 LocalLinearTrend / SmoothTrend ucm.py:484-549). statsmodels is not
 available here, so the linear-gaussian Kalman filter is implemented
-directly (standard published recursions) for the three structural forms:
+directly (standard published recursions, Harvey 1989) with a composable
+component spec matching the reference's surface:
 
-* LocalLevel:        y = μ + ε;  μ' = μ + η                (σ²_ε, σ²_η)
-* LocalLinearTrend:  y = μ + ε;  μ' = μ + β + η;  β' = β + ζ
-* SmoothTrend:       LocalLinearTrend with σ²_η ≡ 0 (integrated RW)
+* level forms: 'local level' (random-walk level), 'local linear trend'
+  (stochastic level + slope), 'smooth trend' (integrated random walk),
+  'random walk with drift' (stochastic level + deterministic drift);
+* seasonal(m): (m−1)-state dummy seasonal (Σ of m consecutive seasonal
+  states = noise), optionally stochastic;
+* cycle: damped stochastic trigonometric cycle with estimated frequency
+  λ ∈ 2π/(period bounds, default (1.5, 12)) and damping ρ;
+* autoregressive(p): companion-form AR(p) component with free coefficients;
+* irregular: observation noise on/off.
 
-Variances are MLE via Nelder-Mead on log-variance scale; the likelihood is
-the prediction-error decomposition with a diffuse-ish large initial
-covariance. Forecast std errors come from the filtered covariance
-propagated through the transition.
+Variances are MLE via Nelder-Mead on log-variance scale (plus λ, ρ, and AR
+coefficients where present); the likelihood is the prediction-error
+decomposition with a large-kappa diffuse-ish initial covariance. Forecast
+std errors propagate the filtered covariance through the transition.
 """
 
 from __future__ import annotations
@@ -25,9 +32,16 @@ from sparkts.kernels.optim import nelder_mead
 
 _BIG = 1e7
 
+_LEVEL_FORMS = {
+    "local level": "llevel", "llevel": "llevel",
+    "local linear trend": "lltrend", "lltrend": "lltrend",
+    "smooth trend": "strend", "strend": "strend",
+    "random walk with drift": "rwdrift", "rwdrift": "rwdrift",
+}
+
 
 def _kalman(y, T, Z, Q, H, P0_scale=_BIG):
-    """Filter; returns (loglik_terms_sum, x_filt, P_filt, fitted)."""
+    """Filter; returns (loglik, x_filt, P_filt, fitted)."""
     n = y.size
     k = T.shape[0]
     x = np.zeros(k)
@@ -35,7 +49,6 @@ def _kalman(y, T, Z, Q, H, P0_scale=_BIG):
     ll = 0.0
     fitted = np.empty(n)
     for t in range(n):
-        # predict
         if t > 0:
             x = T @ x
             P = T @ P @ T.T + Q
@@ -52,45 +65,198 @@ def _kalman(y, T, Z, Q, H, P0_scale=_BIG):
     return ll, x, P, fitted
 
 
-class _UCM(Model):
-    """Shared Kalman machinery; subclasses define the structural form."""
+class UCM(Model):
+    """Composable structural model (reference ucm.py:47 surface subset:
+    level forms + seasonal + cycle + autoregressive + irregular)."""
 
     tunable = True
 
-    _n_state = 1
-    _free_q = (0,)  # indices of state-noise variances that are free
+    def __init__(self, level: bool | str = "local level",
+                 seasonal: int | None = None, cycle: bool = False,
+                 autoregressive: int | None = None, irregular: bool = True,
+                 stochastic_level: bool = True, stochastic_trend: bool = True,
+                 stochastic_seasonal: bool = True,
+                 stochastic_cycle: bool = False, damped_cycle: bool = False,
+                 cycle_period_bounds: tuple | None = None,
+                 alias: str | None = None):
+        super().__init__(alias or "UCM")
+        if level is True:
+            level = "local level"
+        if isinstance(level, str):
+            try:
+                self.level = _LEVEL_FORMS[level.lower()]
+            except KeyError:
+                raise ValueError(
+                    f"unknown UCM level form {level!r}; one of "
+                    f"{sorted(set(_LEVEL_FORMS))}")
+        else:
+            self.level = None
+        self.seasonal = int(seasonal) if seasonal else None
+        self.cycle = bool(cycle)
+        self.ar = int(autoregressive) if autoregressive else None
+        self.irregular = bool(irregular)
+        self.stochastic_level = stochastic_level
+        self.stochastic_trend = stochastic_trend
+        self.stochastic_seasonal = stochastic_seasonal
+        self.stochastic_cycle = stochastic_cycle
+        self.damped_cycle = damped_cycle
+        self.cycle_period_bounds = cycle_period_bounds or (1.5, 12.0)
+        if not (self.level or self.seasonal or self.cycle or self.ar):
+            raise ValueError("UCM needs at least one structural component")
 
-    def _matrices(self):
-        raise NotImplementedError
+    # -- spec construction ------------------------------------------------
+    def _spec(self):
+        """Static layout: state size, Z, static T entries, and the free
+        parameter table [(name, lo, hi, x0)]. Dynamic T/Q entries (cycle
+        rotation, AR coefficients, variances) are filled per evaluation."""
+        k = 0
+        z_idx = []            # state indices observed with weight 1
+        params: list[tuple] = []
+        layout = {}
+        if self.irregular:
+            params.append(("log_var_irr", -20.0, 5.0, -1.0))
+        if self.level:
+            layout["level"] = k
+            z_idx.append(k)
+            if self.level == "llevel":
+                k += 1
+                if self.stochastic_level:
+                    params.append(("log_var_level", -20.0, 5.0, -1.0))
+            else:  # two-state trend forms
+                k += 2
+                if self.level in ("lltrend", "rwdrift") and self.stochastic_level:
+                    params.append(("log_var_level", -20.0, 5.0, -1.0))
+                if self.level in ("lltrend", "strend") and self.stochastic_trend:
+                    params.append(("log_var_trend", -20.0, 5.0, -2.0))
+                # rwdrift: drift state is deterministic (no variance)
+        if self.seasonal:
+            layout["seasonal"] = k
+            z_idx.append(k)
+            k += self.seasonal - 1
+            if self.stochastic_seasonal:
+                params.append(("log_var_seas", -20.0, 5.0, -2.0))
+        if self.cycle:
+            layout["cycle"] = k
+            z_idx.append(k)
+            k += 2
+            lo_p, hi_p = self.cycle_period_bounds
+            params.append(("cycle_freq", 2 * np.pi / hi_p, 2 * np.pi / lo_p,
+                           2 * np.pi / (0.5 * (lo_p + hi_p))))
+            if self.damped_cycle:
+                params.append(("cycle_rho", 0.01, 0.999, 0.9))
+            if self.stochastic_cycle:
+                params.append(("log_var_cycle", -20.0, 5.0, -2.0))
+        if self.ar:
+            layout["ar"] = k
+            z_idx.append(k)
+            k += self.ar
+            for j in range(self.ar):
+                params.append((f"ar{j + 1}", -0.999, 0.999,
+                               0.5 if j == 0 else 0.0))
+            params.append(("log_var_ar", -20.0, 5.0, -1.0))
+        Z = np.zeros(k)
+        Z[z_idx] = 1.0
+        return k, Z, layout, params
 
-    def _forecast(self, y, h, fitted):
+    def _build(self, x, k, layout, params, var_y):
+        d = dict(zip([p[0] for p in params], x))
+        T = np.zeros((k, k))
+        Q = np.zeros((k, k))
+        H = var_y * np.exp(d["log_var_irr"]) if self.irregular else 0.0
+        if self.level:
+            i = layout["level"]
+            if self.level == "llevel":
+                T[i, i] = 1.0
+                if self.stochastic_level:
+                    Q[i, i] = var_y * np.exp(d["log_var_level"])
+            else:
+                T[i, i] = T[i, i + 1] = T[i + 1, i + 1] = 1.0
+                if self.level == "lltrend":
+                    if self.stochastic_level:
+                        Q[i, i] = var_y * np.exp(d["log_var_level"])
+                    if self.stochastic_trend:
+                        Q[i + 1, i + 1] = var_y * np.exp(d["log_var_trend"])
+                elif self.level == "strend":
+                    if self.stochastic_trend:
+                        Q[i + 1, i + 1] = var_y * np.exp(d["log_var_trend"])
+                # rwdrift: stochastic level, deterministic drift state
+                elif self.level == "rwdrift" and self.stochastic_level:
+                    Q[i, i] = var_y * np.exp(d["log_var_level"])
+        if self.seasonal:
+            i = layout["seasonal"]
+            m1 = self.seasonal - 1
+            T[i, i:i + m1] = -1.0
+            for j in range(1, m1):
+                T[i + j, i + j - 1] = 1.0
+            if self.stochastic_seasonal:
+                Q[i, i] = var_y * np.exp(d["log_var_seas"])
+        if self.cycle:
+            i = layout["cycle"]
+            lam = d["cycle_freq"]
+            rho = d.get("cycle_rho", 1.0)
+            c, s = np.cos(lam), np.sin(lam)
+            T[i, i], T[i, i + 1] = rho * c, rho * s
+            T[i + 1, i], T[i + 1, i + 1] = -rho * s, rho * c
+            if self.stochastic_cycle:
+                qc = var_y * np.exp(d["log_var_cycle"])
+                Q[i, i] = Q[i + 1, i + 1] = qc
+        if self.ar:
+            i = layout["ar"]
+            for j in range(self.ar):
+                T[i, i + j] = d[f"ar{j + 1}"]
+            for j in range(1, self.ar):
+                T[i + j, i + j - 1] = 1.0
+            Q[i, i] = var_y * np.exp(d["log_var_ar"])
+        return T, Q, H
+
+    # -- fit/forecast ------------------------------------------------------
+    def _fit(self, y):
         y = np.asarray(y, dtype=np.float64)
-        if y.size < self._n_state + 2:
-            raise ValueError(f"{self.alias}: series too short ({y.size})")
-        T, Z = self._matrices()
-        k = T.shape[0]
+        k, Z, layout, params = self._spec()
+        if y.size < k + 2:
+            raise ValueError(f"{self.alias}: series too short ({y.size}) "
+                             f"for {k} states")
         var_y = max(float(np.var(y)), 1e-8)
-        nfree = 1 + len(self._free_q)  # obs variance + free state variances
 
-        def build(params):
-            # params are log-variances relative to var_y
-            H = var_y * np.exp(params[0])
-            Q = np.zeros((k, k))
-            for i, qi in enumerate(self._free_q):
-                Q[qi, qi] = var_y * np.exp(params[1 + i])
-            return Q, H
-
-        def nll(params):
-            Q, H = build(params)
+        def nll(x):
+            T, Q, H = self._build(x, k, layout, params, var_y)
+            if not self.irregular and not Q.any():
+                return np.inf
             ll, *_ = _kalman(y, T, Z, Q, H)
             return -ll if np.isfinite(ll) else np.inf
 
-        x0 = np.full(nfree, -1.0)
-        lo = np.full(nfree, -20.0)
-        hi = np.full(nfree, 5.0)
-        xb, _ = nelder_mead(nll, x0, lo, hi, max_iter=500, tol_std=1e-8)
-        Q, H = build(xb)
+        x0 = np.array([p[3] for p in params])
+        lo = np.array([p[1] for p in params])
+        hi = np.array([p[2] for p in params])
+        xb, fb = nelder_mead(nll, x0, lo, hi, max_iter=600, tol_std=1e-8)
+        for _ in range(2):  # incumbent restart (multi-modal in cycle freq)
+            cand, fcand = nelder_mead(nll, xb, lo, hi, max_iter=600,
+                                      tol_std=1e-8, init_step=0.3)
+            if fcand >= fb - 1e-10:
+                break
+            xb, fb = cand, fcand
+        T, Q, H = self._build(xb, k, layout, params, var_y)
+        return {"T": T, "Z": Z, "Q": Q, "H": H, "params": xb, "y": y}
+
+    def fit_state(self, y):
+        return self._fit(np.asarray(y, dtype=np.float64))
+
+    def forward(self, state, y, h, level=None, fitted=False):
+        from sparkts.kernels.base import add_intervals
+
+        y = np.asarray(y, dtype=np.float64)
+        T, Z, Q, H = state["T"], state["Z"], state["Q"], state["H"]
         ll, x, P, fitted_vals = _kalman(y, T, Z, Q, H)
+        mean, se = self._propagate(T, Z, Q, H, x, P, h)
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = fitted_vals
+        if level:
+            add_intervals(res, se, level)
+        return res
+
+    @staticmethod
+    def _propagate(T, Z, Q, H, x, P, h):
         mean = np.empty(h)
         se = np.empty(h)
         for i in range(h):
@@ -98,62 +264,34 @@ class _UCM(Model):
             P = T @ P @ T.T + Q
             mean[i] = Z @ x
             se[i] = np.sqrt(max(float(Z @ P @ Z.T) + H, 0.0))
-        return mean, se, fitted_vals
+        return mean, se
+
+    def _forecast(self, y, h, fitted):
+        fit = self._fit(np.asarray(y, dtype=np.float64))
+        T, Z, Q, H = fit["T"], fit["Z"], fit["Q"], fit["H"]
+        ll, x, P, fitted_vals = _kalman(fit["y"], T, Z, Q, H)
+        mean, se = self._propagate(T, Z, Q, H, x, P, h)
+        return mean, se, fitted_vals if fitted else None
 
 
-class LocalLevel(_UCM):
+class LocalLevel(UCM):
     """Random-walk-plus-noise structural model (reference ucm.py:484)."""
 
-    _n_state = 1
-    _free_q = (0,)
-
     def __init__(self, alias: str | None = None):
-        super().__init__(alias or "LocalLevel")
-
-    def _matrices(self):
-        return np.array([[1.0]]), np.array([1.0])
+        super().__init__(level="local level", alias=alias or "LocalLevel")
 
 
-class LocalLinearTrend(_UCM):
+class LocalLinearTrend(UCM):
     """Level + slope, both stochastic (reference ucm.py:505)."""
 
-    _n_state = 2
-    _free_q = (0, 1)
-
     def __init__(self, alias: str | None = None):
-        super().__init__(alias or "LocalLinearTrend")
-
-    def _matrices(self):
-        return np.array([[1.0, 1.0], [0.0, 1.0]]), np.array([1.0, 0.0])
+        super().__init__(level="local linear trend",
+                         alias=alias or "LocalLinearTrend")
 
 
-class SmoothTrend(_UCM):
+class SmoothTrend(UCM):
     """Integrated random walk: stochastic slope, deterministic level step
     (reference ucm.py:528)."""
 
-    _n_state = 2
-    _free_q = (1,)
-
     def __init__(self, alias: str | None = None):
-        super().__init__(alias or "SmoothTrend")
-
-    def _matrices(self):
-        return np.array([[1.0, 1.0], [0.0, 1.0]]), np.array([1.0, 0.0])
-
-
-class UCM(_UCM):
-    """Front door mirroring the reference's model-string subset
-    (reference ucm.py:47): 'llevel' → LocalLevel, 'lltrend' →
-    LocalLinearTrend, 'strend' → SmoothTrend."""
-
-    _FORMS = {"llevel": LocalLevel, "lltrend": LocalLinearTrend,
-              "strend": SmoothTrend}
-
-    def __new__(cls, model: str = "llevel", alias: str | None = None):
-        try:
-            impl = cls._FORMS[model]
-        except KeyError:
-            raise ValueError(
-                f"unknown UCM form {model!r}; one of {sorted(cls._FORMS)}")
-        obj = impl(alias=alias or "UCM")
-        return obj
+        super().__init__(level="smooth trend", alias=alias or "SmoothTrend")

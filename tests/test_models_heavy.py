@@ -341,13 +341,65 @@ class TestUCM:
             assert slope == pytest.approx(0.5, abs=0.15)
 
     def test_front_door_dispatch(self):
-        from sparkts.kernels import UCM, LocalLinearTrend
+        from sparkts.kernels import UCM
 
         m = UCM("lltrend")
-        assert isinstance(m, LocalLinearTrend)
+        assert m.level == "lltrend"
         assert repr(m) == "UCM"
         with pytest.raises(ValueError):
             UCM("bogus")
+
+    def test_cycle_component_captures_planted_cycle(self):
+        # reference ucm.py:69-73 cycle spec: damped stochastic trig cycle
+        from sparkts.kernels import UCM, LocalLevel
+
+        rng = np.random.default_rng(0)
+        n = 200
+        t = np.arange(n)
+        y = (20 + np.cumsum(rng.normal(0, 0.3, n))
+             + 3 * np.cos(2 * np.pi * t / 8) + rng.normal(0, 0.5, n))
+        plain = LocalLevel().forecast(y, 8, fitted=True)
+        cyc = UCM(level="local level", cycle=True, stochastic_cycle=True,
+                  damped_cycle=True).forecast(y, 8, fitted=True)
+        rmse = lambda r: float(np.sqrt(np.nanmean((y[5:] - r["fitted"][5:]) ** 2)))  # noqa: E731
+        assert rmse(cyc) < 0.6 * rmse(plain)
+        # the forecast oscillates (cycle extrapolated), the plain one is flat
+        assert np.std(cyc["mean"]) > 0.5
+
+    def test_autoregressive_component(self):
+        # reference ucm.py:73-74 autoregressive spec
+        from sparkts.kernels import UCM
+
+        rng = np.random.default_rng(3)
+        n = 300
+        ar = np.zeros(n)
+        for t in range(1, n):
+            ar[t] = 0.8 * ar[t - 1] + rng.normal()
+        y = 50 + ar
+        m = UCM(level="local level", autoregressive=1)
+        r = m.forecast(y, 10, fitted=True)
+        rmse = float(np.sqrt(np.nanmean((y[5:] - r["fitted"][5:]) ** 2)))
+        assert rmse < 1.3  # close to the innovation sd of 1
+
+    def test_seasonal_component(self):
+        from sparkts.kernels import UCM
+
+        rng = np.random.default_rng(4)
+        seas = np.tile([5.0, -2.0, -1.0, -2.0], 50)
+        y = 30 + seas + rng.normal(0, 0.3, 200)
+        r = UCM(level="local level", seasonal=4).forecast(y, 8, fitted=True)
+        # forecast repeats the planted seasonal shape
+        np.testing.assert_allclose(r["mean"][:4], 30 + seas[:4], atol=1.0)
+        np.testing.assert_allclose(r["mean"][:4], r["mean"][4:], atol=0.5)
+
+    def test_rwdrift_level_form(self):
+        from sparkts.kernels import UCM
+
+        rng = np.random.default_rng(5)
+        y = np.cumsum(0.5 + rng.normal(0, 1, 200))
+        r = UCM(level="random walk with drift").forecast(y, 10)
+        slope = float(np.diff(r["mean"]).mean())
+        assert 0.2 < slope < 0.8
 
 
 class TestMFLES:

@@ -102,3 +102,49 @@ class TestCvRefit:
         eng = SparkForecast([AutoCES(12)], freq="D")
         with pytest.raises(ValueError, match="forward"):
             eng.cross_validation(panel, h=6, n_windows=2, refit=False)
+
+
+class TestFitPredictPersistence:
+    """fit → state table → (parquet round-trip) → predict: the reference's
+    save/load surface (core.py:1541-1649) as a first-class DataFrame."""
+
+    def test_fit_predict_matches_forecast(self, spark, tmp_path):
+        import numpy as np
+        from sparkts.engine import SparkForecast
+        from sparkts.kernels import Naive, SimpleExponentialSmoothingOptimized
+
+        rows = []
+        rng = np.random.default_rng(0)
+        for uid in ("a", "b"):
+            y = 10 + np.cumsum(rng.normal(0, 1, 60))
+            rows += [(uid, t, float(y[t])) for t in range(60)]
+        df = spark.createDataFrame(rows, "unique_id string, ds long, y double")
+        eng = SparkForecast(
+            [Naive(), SimpleExponentialSmoothingOptimized()], freq=1)
+
+        states = eng.fit(df)
+        path = str(tmp_path / "states.parquet")
+        states.write.mode("overwrite").parquet(path)
+        loaded = spark.read.parquet(path)
+
+        direct = (eng.forecast(df, h=4, level=[90]).toPandas()
+                  .sort_values(["unique_id", "ds"]).reset_index(drop=True))
+        from_state = (eng.predict(loaded, h=4, level=[90]).toPandas()
+                      .sort_values(["unique_id", "ds"]).reset_index(drop=True))
+        assert list(direct.columns) == list(from_state.columns)
+        for c in direct.columns[2:]:
+            np.testing.assert_allclose(from_state[c].to_numpy(),
+                                       direct[c].to_numpy(), rtol=1e-12)
+
+    def test_predict_missing_model_state_raises(self, spark):
+        import pytest as _pytest
+        from sparkts.engine import SparkForecast
+        from sparkts.kernels import Naive, SeasonalNaive
+
+        df = spark.createDataFrame(
+            [("a", t, float(t)) for t in range(30)],
+            "unique_id string, ds long, y double")
+        states = SparkForecast([Naive()], freq=1).fit(df)
+        eng2 = SparkForecast([Naive(), SeasonalNaive(7)], freq=1)
+        with _pytest.raises(Exception, match="no stored state"):
+            eng2.predict(states, h=2).collect()
