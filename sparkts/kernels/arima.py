@@ -310,6 +310,114 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None):
             "resid": e, "resid_start": z.size - e.size}
 
 
+def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray):
+    """Exact Gaussian log-likelihood of a stationary ARMA on the centered
+    series x via the Kalman filter in Harvey's state-space form (the same
+    form R's arima / the reference's C++ ML step uses, src/arima.cpp):
+
+      a_{t+1} = T a_t + R ε,  y_t = a_t[0],  T = companion(φ), R = (1, θ…)
+
+    with the STATIONARY initial covariance from the Lyapunov equation and
+    σ² concentrated out. Returns (loglik, sigma2_hat) or (-inf, nan)."""
+    phi = -ar[1:]
+    theta = ma[1:]
+    p_, q_ = phi.size, theta.size
+    r = max(p_, q_ + 1)
+    T = np.zeros((r, r))
+    if p_:
+        T[:p_, 0] = phi
+    for j in range(r - 1):
+        T[j, j + 1] = 1.0
+    R = np.zeros(r)
+    R[0] = 1.0
+    if q_:
+        R[1: q_ + 1] = theta
+    RR = np.outer(R, R)
+    # stationary P0: vec(P) = (I - T⊗T)^{-1} vec(RR')
+    try:
+        vecP = np.linalg.solve(np.eye(r * r) - np.kron(T, T), RR.reshape(-1))
+    except np.linalg.LinAlgError:
+        return -np.inf, np.nan
+    P = vecP.reshape(r, r)
+    if not np.all(np.isfinite(P)):
+        return -np.inf, np.nan
+    a = np.zeros(r)
+    n = x.size
+    ssq = 0.0
+    logdet = 0.0
+    for t in range(n):
+        F = P[0, 0]
+        if not np.isfinite(F) or F <= 0:
+            return -np.inf, np.nan
+        v = x[t] - a[0]
+        ssq += v * v / F
+        logdet += np.log(F)
+        M = T @ P[:, 0]
+        K = M / F
+        a = T @ a + K * v
+        P = T @ P @ T.T + RR - np.outer(K, M)
+    sigma2 = ssq / n
+    if sigma2 <= 0:
+        return -np.inf, np.nan
+    ll = -0.5 * (n * (np.log(2 * np.pi) + 1.0 + np.log(sigma2)) + logdet)
+    return float(ll), float(sigma2)
+
+
+def _ml_refine(z, p, q, P, Q, m, use_mean, fit, maxiter=300, fixed=None):
+    """Refine a CSS fit by exact maximum likelihood (the reference's
+    CSS-then-ML pattern, src/arima.cpp:749-756): Nelder-Mead on the Kalman
+    likelihood starting at the CSS solution. Returns an updated fit dict
+    (exact loglik + ML sigma2 + refreshed residuals) or the input fit if
+    refinement fails/doesn't improve."""
+    names = _param_names(p, q, P, Q, use_mean)
+    fixed = dict(fixed or {})
+    fixed_full = np.array([fixed.get(nm, np.nan) for nm in names])
+    free = np.isnan(fixed_full)
+    if not free.any():
+        x_css = np.asarray(fit["coef"], dtype=np.float64)
+        ar, ma, mu, parts = _expand_params(x_css, p, q, P, Q, m, use_mean)
+        ll, sigma2 = _arma_exact_loglik(z - mu, ar, ma)
+        if not np.isfinite(ll):
+            return fit
+        out = dict(fit)
+        out.update({"loglik": ll, "sigma2": sigma2, "method": "css-ml"})
+        return out
+
+    lo = np.full(len(names), -0.99)
+    hi = np.full(len(names), 0.99)
+    if use_mean:
+        span = max(float(np.max(np.abs(z))), 1e-6) * 10
+        lo[-1], hi[-1] = -span, span
+    x_css = np.asarray(fit["coef"], dtype=np.float64)
+
+    def nll(x_free):
+        x = fixed_full.copy()
+        x[free] = x_free
+        ar, ma, mu, _ = _expand_params(x, p, q, P, Q, m, use_mean)
+        if not (_roots_ok(ar) and _roots_ok(ma)):
+            return np.inf
+        ll, _ = _arma_exact_loglik(z - mu, ar, ma)
+        return -ll if np.isfinite(ll) else np.inf
+
+    if not np.isfinite(nll(x_css[free])):
+        return fit
+    xb, fb = nelder_mead(nll, x_css[free], lo[free], hi[free],
+                         max_iter=maxiter, tol_std=1e-8, init_step=0.05,
+                         zero_pert=0.05)
+    if not np.isfinite(fb):
+        return fit
+    x_full = fixed_full.copy()
+    x_full[free] = xb
+    ar, ma, mu, parts = _expand_params(x_full, p, q, P, Q, m, use_mean)
+    ll, sigma2 = _arma_exact_loglik(z - mu, ar, ma)
+    e = _css_resid(z - mu, ar, ma)
+    out = dict(fit)
+    out.update({"coef": x_full, "mu": mu, "sigma2": sigma2, "loglik": ll,
+                "ar": ar, "ma": ma, "parts": parts, "resid": e,
+                "resid_start": z.size - e.size, "method": "css-ml"})
+    return out
+
+
 def _aicc(fit, n):
     k = fit["nparam"]
     aic = -2 * fit["loglik"] + 2 * k
@@ -404,7 +512,11 @@ def _psi_weights(ar_full: np.ndarray, ma: np.ndarray, h: int) -> np.ndarray:
 
 
 def arima_fit(y, order, seasonal_order=(0, 0, 0), m=1, include_mean=None,
-              maxiter=500, fixed=None):
+              maxiter=500, fixed=None, method="css"):
+    """``method``: 'css' = conditional sum of squares only; 'css-ml' = CSS
+    start then exact-likelihood Kalman refinement (the reference's default
+    estimation path, src/arima.cpp:749-756). Pure mean/drift models are
+    closed form either way."""
     p, d, q = order
     P, D, Q = seasonal_order
     if m <= 1:
@@ -415,6 +527,9 @@ def arima_fit(y, order, seasonal_order=(0, 0, 0), m=1, include_mean=None,
     fit = _fit_css(z, p, q, P, Q, m, use_mean, maxiter=maxiter, fixed=fixed)
     if fit is None:
         return None
+    if method == "css-ml" and p + q + P + Q > 0:
+        fit = _ml_refine(z, p, q, P, Q, m, use_mean, fit,
+                         maxiter=min(maxiter, 300), fixed=fixed)
     fit.update({"order": (p, d, q), "seasonal": (P, D, Q), "m": m,
                 "use_mean": use_mean, "y": y, "z": z})
     fit["aicc"] = _aicc(fit, z.size)
@@ -519,7 +634,12 @@ def arima_fitted(fit):
 # ---------------------------------------------------------------------------
 
 def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
-               stepwise=True, nmodels=94, maxiter=500, seasonal=True):
+               stepwise=True, nmodels=94, maxiter=500, seasonal=True,
+               method="css-ml"):
+    """Stepwise search scores candidates by fast CSS (the reference's
+    approximation mode, arima.py:1858-1859); the winner is refit with
+    ``method`` ('css-ml' = exact-likelihood refinement, the reference's
+    final step)."""
     y = np.asarray(y, dtype=np.float64)
     n = y.size
     m = int(m) if seasonal else 1
@@ -587,7 +707,10 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
                             v, f = score(p, q, P, Q, c)
                             if v < best_val and f is not None:
                                 best_val, best_fit, best_key = v, f, (p, q, P, Q, c)
-        return best_fit
+        p, q, P, Q, c = best_key
+        final = arima_fit(y, (p, d, q), (P, D, Q), m, include_mean=bool(c),
+                          maxiter=maxiter, method=method)
+        return final if final is not None else best_fit
 
     improved = True
     while improved and len(tried) < nmodels:
@@ -612,10 +735,10 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
                 best_val, best_fit, best_key = v, f, k
                 improved = True
                 break
-    # full-budget refit of the winner
+    # full-budget refit of the winner (ML refinement per `method`)
     p, q, P, Q, c = best_key
     final = arima_fit(y, (p, d, q), (P, D, Q), m, include_mean=bool(c),
-                      maxiter=maxiter)
+                      maxiter=maxiter, method=method)
     return final if final is not None else best_fit
 
 
@@ -666,7 +789,8 @@ class ARIMA(Model):
 
     def __init__(self, order=(0, 0, 0), season_length: int = 1,
                  seasonal_order=(0, 0, 0), include_mean: bool | None = None,
-                 fixed: dict | None = None, alias: str | None = None):
+                 fixed: dict | None = None, method: str = "css-ml",
+                 alias: str | None = None):
         super().__init__(alias or "ARIMA")
         self.order = tuple(order)
         self.seasonal_order = tuple(seasonal_order)
@@ -675,10 +799,14 @@ class ARIMA(Model):
         #: pinned coefficients by name (ar1…, ma1…, sar1…, sma1…, mean) —
         #: reference ARIMA's `fixed` argument (models.py:1923)
         self.fixed = dict(fixed) if fixed else None
+        if method not in ("css", "css-ml"):
+            raise ValueError(f"method must be 'css' or 'css-ml', got {method!r}")
+        self.method = method
 
     def _fit(self, y):
         fit = arima_fit(y, self.order, self.seasonal_order, self.m,
-                        include_mean=self.include_mean, fixed=self.fixed)
+                        include_mean=self.include_mean, fixed=self.fixed,
+                        method=self.method)
         if fit is None:
             raise ValueError(
                 f"{self.alias}: series too short for order {self.order}x"
