@@ -306,9 +306,17 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
+def q_ngram_jaccard_pairs(spark, sf_dir, df_cap: int = 100):
     """Near-dup candidate pairs by word-bigram Jaccard ≥ 0.05 on a doc_id<200
-    slice (the exact-similarity baseline the MinHash path approximates)."""
+    slice (the exact-similarity baseline the MinHash path approximates).
+
+    Scale guard (round-2 fix): the candidate self-join runs only on shingles
+    whose document frequency ≤ ``df_cap`` — a stopword bigram shared by all
+    N docs would otherwise blow the join up to N² rows. Jaccard for the
+    surviving candidates is still EXACT (counted over ALL shingles including
+    hot ones); only pairs sharing exclusively hot shingles are dropped. At
+    the driver's sf the max df is ~23, so the cap is a no-op and the DuckDB
+    oracle (uncapped) matches exactly."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     sh = toks.select(
@@ -318,11 +326,27 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         ).alias("s"),
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap).select("s"),
+        "s",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact shared-shingle count for candidates (hot shingles included):
+    # fan out doc_a's shingles, probe doc_b's — linear in candidates
+    pair_sh = (cand.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+               .select("doc_a", "doc_b", F.col("x.s").alias("sa")))
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pair_sh.join(sh.alias("y"), (F.col("doc_b") == F.col("y.doc_id"))
+                     & (F.col("sa") == F.col("y.s")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))

@@ -238,6 +238,10 @@ class SparkForecast:
         it survives `write.parquet` and predict never rescans raw data).
 
         Columns: id, model (alias), state (binary), last_ds, n_obs.
+
+        Exog models are not supported here (their fit/forward need X at
+        predict time, which a state-only table can't supply) — they fall
+        back / raise inside the kernel.
         """
         import pickle
 
@@ -479,9 +483,8 @@ class SparkForecast:
         Exogenous regressors: every df column beyond id/time/target is exog
         and is sliced with y per window — X on the train slice, X_future on
         the h test rows (reference core.py:294-300) — and fed to
-        ``uses_exog`` models. Exog requires ``refit=True`` here (our
-        ``forward`` contract is y-only; the reference threads X through
-        ``forward`` too — documented deviation).
+        ``uses_exog`` models in BOTH refit modes (fit_state/forward thread
+        X like the reference's fit/forward, core.py:322-354).
 
         ``refit``: True refits every window; False fits parameters once on
         the first window and re-applies them via each model's ``forward``;
@@ -514,9 +517,6 @@ class SparkForecast:
                 raise ValueError(
                     f"refit={refit} needs a forward implementation for: "
                     f"{missing}")  # reference core.py:1188-1200
-            if uses_exog:
-                raise ValueError(
-                    "exog models require refit=True in cross_validation")
         test_size = h + step_size * (n_windows - 1)
         schema = cv_schema(
             df.schema[id_col], df.schema[time_col], target_col, models, level
@@ -565,11 +565,15 @@ class SparkForecast:
                     out = {}
                     for m in models:
                         alias = repr(m)
+                        kw = ({"X": X_train, "X_future": X_fut}
+                              if m.uses_exog else {})
                         try:
                             if do_fit or alias not in states:
-                                states[alias] = m.fit_state(y_train)
+                                states[alias] = (m.fit_state(y_train, X=X_train)
+                                                 if m.uses_exog
+                                                 else m.fit_state(y_train))
                             res = m.forward(states[alias], y_train, h,
-                                            level=level, fitted=False)
+                                            level=level, fitted=False, **kw)
                         except NotImplementedError:
                             raise
                         except Exception:

@@ -298,9 +298,10 @@ class Model:
     #: (matching the reference's forward-method validation).
     tunable = False
 
-    def fit_state(self, y: np.ndarray):
+    def fit_state(self, y: np.ndarray, X: np.ndarray | None = None):
         """Return the reusable parameter state for ``forward``. Default:
-        parameter-free models return None."""
+        parameter-free models return None. ``X`` is the train regressor
+        matrix for uses_exog models (reference fit(y, X), core.py:246-354)."""
         if self.tunable:
             raise NotImplementedError(
                 f"{self.alias} is parameterized but implements no forward; "
@@ -308,15 +309,20 @@ class Model:
         return None
 
     def forward(self, state, y: np.ndarray, h: int,
-                level: list[int] | None = None, fitted: bool = False) -> dict:
+                level: list[int] | None = None, fitted: bool = False,
+                X: np.ndarray | None = None,
+                X_future: np.ndarray | None = None) -> dict:
         """Apply a previously fitted ``state`` to (possibly longer) data
         ``y``. Default = plain forecast — exactly correct for
-        parameter-free models (there is nothing to re-apply)."""
+        parameter-free models (there is nothing to re-apply). Exog models
+        receive the window's (X, X_future) like the reference's forward
+        (core.py:346-354)."""
         if self.tunable:
             raise NotImplementedError(
                 f"{self.alias} is parameterized but implements no forward; "
                 "use refit=True")
-        return self.forecast(y, h, level=level, fitted=fitted)
+        return self.forecast(y, h, level=level, fitted=fitted,
+                             X=X, X_future=X_future)
 
     # exog-aware subclass hook (only called when uses_exog=True)
     def _forecast_exog(self, y, h, fitted, X, X_future):

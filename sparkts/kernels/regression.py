@@ -20,10 +20,43 @@ class LinearRegression(Model):
     (reference _cotransform, fugue.py:25-51)."""
 
     uses_exog = True
+    tunable = True
 
     def __init__(self, fit_intercept: bool = True, alias: str | None = None):
         super().__init__(alias or "LinearRegression")
         self.fit_intercept = fit_intercept
+
+    # -- forward contract: refit=False re-applies the stored beta ---------
+    def fit_state(self, y, X=None):
+        if X is None:
+            raise ValueError(f"{self.alias}.fit_state needs X")
+        A = self._design(X)
+        y = np.asarray(y, dtype=np.float64)
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        return {"beta": beta}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        from sparkts.kernels.base import add_intervals
+
+        if X is None or X_future is None:
+            raise ValueError(f"{self.alias}.forward needs X and X_future")
+        beta = state["beta"]
+        y = np.asarray(y, dtype=np.float64)
+        A = self._design(X)
+        Af = self._design(X_future)
+        resid = y - A @ beta
+        dof = max(y.size - A.shape[1], 1)
+        sigma2 = float(resid @ resid) / dof
+        mean = Af @ beta
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = A @ beta
+        if level:
+            AtA_inv = np.linalg.pinv(A.T @ A)
+            lever = np.einsum("ij,jk,ik->i", Af, AtA_inv, Af)
+            add_intervals(res, np.sqrt(sigma2 * (1.0 + lever)), level)
+        return res
 
     def _design(self, X):
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))

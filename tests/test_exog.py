@@ -107,13 +107,23 @@ class TestCvExog:
         # Naive is y-only and generally wrong on this data
         assert np.abs(out["Naive"] - out["y"]).max() > 0.1
 
-    def test_cv_exog_requires_refit_true(self, spark):
+    def test_cv_exog_refit_false_reapplies_beta(self, spark):
+        # refit=False fits beta on window 0 and re-applies it (reference
+        # threads X through forward, core.py:322-354). With exact linear
+        # data the window-0 beta is already perfect → zero error everywhere.
+        rows = []
+        rng = np.random.default_rng(1)
+        for uid in ("a", "b"):
+            x = rng.normal(0, 1, 60)
+            y = 2.0 - 1.5 * x
+            rows += [(uid, t, float(y[t]), float(x[t])) for t in range(60)]
         df = spark.createDataFrame(
-            [("a", t, float(t), 1.0) for t in range(30)],
-            "unique_id string, ds long, y double, x double")
+            rows, "unique_id string, ds long, y double, x double")
         eng = SparkForecast([LinearRegression()], freq=1)
-        with pytest.raises(ValueError, match="refit=True"):
-            eng.cross_validation(df, h=2, n_windows=2, refit=False)
+        out = eng.cross_validation(df, h=4, n_windows=3, step_size=4,
+                                   refit=False).toPandas()
+        np.testing.assert_allclose(out["LinearRegression"], out["y"],
+                                   atol=1e-8)
 
     def test_cv_exog_requires_exog_columns(self, spark):
         df = spark.createDataFrame(
