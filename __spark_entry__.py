@@ -642,6 +642,23 @@ def _daily_panel(spark, sf_dir):
     )
 
 
+def q_holt_fixed_fc(spark, sf_dir):
+    """Holt's linear trend with PINNED smoothing (α=0.5, β=0.1) and R-style
+    'simple' initial states — a single deterministic ETS recursion, so a
+    DuckDB RECURSIVE CTE value-checks the state updates l/b step by step
+    through the whole engine path (the piece autoets_fc's optimizer hides)."""
+    from sparkts.kernels import ETS
+
+    sf = SparkForecast(
+        [ETS(model="AAN", alpha=0.5, beta=0.1, initial="simple",
+             alias="HoltFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=6)
+    return out.select("unique_id", "ds",
+                      F.round("HoltFixed", 6).alias("holt_fc"))
+
+
 def q_autoets_fc(spark, sf_dir):
     """AutoETS (state-space exponential smoothing, AICc selection over
     error/trend/season specs) on the daily tier, m=7. Non-SQL-expressible
@@ -987,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothing_opt_fc": q_smoothing_opt_fc,
         "theta_fc": q_theta_fc,
         "cv_multimodel": q_cv_multimodel,
+        "holt_fixed_fc": q_holt_fixed_fc,
         "autoets_fc": q_autoets_fc,
         "mstl_fc": q_mstl_fc,
         "arima_fc": q_arima_fc,
@@ -1357,6 +1375,50 @@ def _arima_drift_sql() -> str:
            round(l.y_last + st.mu * s + {z90!r} * st.sigma * sqrt(s), 4) AS arima_hi90
     FROM lastv l JOIN st USING (unique_id),
          unnest(generate_series(1, 7)) t(s)
+    """
+
+
+def _holt_fixed_sql(alpha: float = 0.5, beta: float = 0.1) -> str:
+    """Recursive-CTE twin of the pinned-parameter Holt recursion
+    (kernels/ets.py _etscalc, AAN): the l/b updates are written with the
+    same floating-point association as the kernel so values match exactly
+    at 6dp; initial states are the kernel's 'simple' heuristic (OLS line
+    over the first 10 points — regr_intercept/slope at rn=0)."""
+    bo_a = beta / alpha
+    lnew = f"((r.l + r.b) + {alpha!r} * (i.y - (r.l + r.b)))"
+    return f"""
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn
+      FROM dpanel
+    ),
+    init AS (
+      SELECT unique_id, regr_intercept(y, rn::DOUBLE) AS l0,
+             regr_slope(y, rn::DOUBLE) AS b0
+      FROM idx WHERE rn <= 10 GROUP BY 1
+    ),
+    rec(unique_id, rn, l, b) AS (
+      SELECT unique_id, 0::BIGINT, l0, b0 FROM init
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             {lnew},
+             r.b + {bo_a!r} * ({lnew} - (r.l + r.b))
+      FROM rec r JOIN idx i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    fin AS (
+      SELECT r.unique_id, r.l, r.b
+      FROM rec r JOIN (SELECT unique_id, max(rn) AS mr FROM rec GROUP BY 1) mx
+        ON mx.unique_id = r.unique_id AND r.rn = mx.mr
+    ),
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM dpanel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + to_days(s::INT) AS ds,
+           round(f.l + s * f.b, 6) AS holt_fc
+    FROM lastd l JOIN fin f USING (unique_id),
+         unnest(generate_series(1, 6)) t(s)
     """
 
 
@@ -1763,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
         """,
         "intermittent_fc": _intermittent_sql(),
+        "holt_fixed_fc": _holt_fixed_sql(),
         "smoothing_fc": _smoothing_sql(),
         "arima_fc": _arima_drift_sql(),
         "media_features": """

@@ -407,12 +407,16 @@ class SparkForecast:
         n_paths: int = 100,
         seed: int = 0,
         error_dist: str = "normal",
+        error_params: dict | None = None,
         id_col: str = "unique_id",
         time_col: str = "ds",
         target_col: str = "y",
     ) -> DataFrame:
         """n_paths sample trajectories per (series, model): output
         id, ds, sample_id, <model cols> (reference core.py:1076-1093).
+        ``error_dist``/``error_params`` select the innovation distribution
+        (normal / t / laplace / skew-normal / ged / bootstrap; reference
+        simulation.py:106-243).
 
         Determinism under ANY partitioning: each series' RNG seed is
         crc32(f"{seed}:{id}") — a pure function of (root seed, series id),
@@ -440,12 +444,14 @@ class SparkForecast:
             for m in models:
                 try:
                     paths = m.simulate(y, h, n_paths=n_paths, seed=s,
-                                       error_dist=error_dist)
+                                       error_dist=error_dist,
+                                       error_params=error_params)
                 except Exception:
                     if fallback is None:
                         raise
                     paths = fallback.simulate(y, h, n_paths=n_paths, seed=s,
-                                              error_dist=error_dist)
+                                              error_dist=error_dist,
+                                              error_params=error_params)
                 data[repr(m)] = paths.reshape(-1)
             return pd.DataFrame(data)[cols]
 

@@ -226,8 +226,16 @@ def _admissible(alpha, beta, gamma, phi, trend, season):
     return True
 
 
-def _fit_one(y, m, error, trend, season, damped, maxiter=600):
-    """Optimize one ETS configuration; return dict or None if infeasible."""
+def _fit_one(y, m, error, trend, season, damped, maxiter=600, fixed=None,
+             initial="optimized"):
+    """Optimize one ETS configuration; return dict or None if infeasible.
+
+    ``fixed`` pins smoothing parameters by name (alpha/beta/gamma/phi — the
+    reference's ets_f passes phi through; R's ets accepts all four);
+    ``initial='simple'`` freezes the heuristic initial states instead of
+    optimizing them (R ets initial='simple'). With everything pinned the
+    fit is a single deterministic recursion — which is what lets a plain-SQL
+    oracle value-check the ETS recursion end-to-end."""
     n = y.size
     # np = smoothing params (+phi) + free initial states + 1 for sigma^2
     nfree = 1 + (trend != _N) + (season != _N) + damped + 1 + (trend != _N) + (season != _N) * (m - 1)
@@ -238,16 +246,42 @@ def _fit_one(y, m, error, trend, season, damped, maxiter=600):
     alpha0, beta0, gamma0, phi0 = 0.5, 0.1, 0.05, 0.97
     if season != _N:
         gamma0 = min(0.05, (1 - alpha0) * 0.99)
+    fixed = dict(fixed or {})
+    alpha0 = fixed.get("alpha", alpha0)
+    beta0 = fixed.get("beta", beta0)
+    gamma0 = fixed.get("gamma", gamma0)
+    phi0 = fixed.get("phi", phi0)
     x0, lo, hi = _pack(alpha0, beta0, gamma0, phi0, l0, b0, s0, trend, season, damped)
+    sm_names = (["alpha"] + (["beta"] if trend != _N else [])
+                + (["gamma"] if season != _N else [])
+                + (["phi"] if damped else []))
+    freeze = np.zeros(x0.size, dtype=bool)
+    for i, nm in enumerate(sm_names):
+        if nm in fixed:
+            freeze[i] = True
+    if initial == "simple":
+        freeze[len(sm_names):] = True
+    free = ~freeze
 
-    def objective(x):
+    def objective_full(x):
         a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)
         if not _admissible(a, b_, g, ph, trend, season):
             return np.inf
         f, *_ = _etscalc(y, l_, bb, ss, m, trend, season, a, b_, g, ph)
         return _lik(y, f, error)
 
-    xb, fb = nelder_mead(objective, x0, lo, hi, max_iter=maxiter, tol_std=1e-6)
+    if not free.any():
+        xb, fb = x0, objective_full(x0)
+    else:
+        def objective(xf):
+            x = x0.copy()
+            x[free] = xf
+            return objective_full(x)
+
+        xf, fb = nelder_mead(objective, x0[free], lo[free], hi[free],
+                             max_iter=maxiter, tol_std=1e-6)
+        xb = x0.copy()
+        xb[free] = xf
     if not np.isfinite(fb):
         return None
     a, b_, g, ph, l_, bb, ss = _unpack(xb, m, trend, season, damped)
@@ -383,11 +417,23 @@ class AutoETS(Model):
     tunable = True
 
     def __init__(self, season_length: int = 1, model: str = "ZZZ",
-                 damped: bool | None = None, alias: str | None = None):
+                 damped: bool | None = None,
+                 alpha: float | None = None, beta: float | None = None,
+                 gamma: float | None = None, phi: float | None = None,
+                 initial: str = "optimized", alias: str | None = None):
         super().__init__(alias or "AutoETS")
         self.m = max(int(season_length), 1)
         self.model = model
         self.damped = damped
+        #: pinned smoothing parameters (reference ets_f passes phi; R's ets
+        #: accepts alpha/beta/gamma/phi) and the R-style initial-state mode
+        #: ('optimized' = states in the MLE, 'simple' = heuristic states)
+        self.fixed = {k: v for k, v in
+                      (("alpha", alpha), ("beta", beta),
+                       ("gamma", gamma), ("phi", phi)) if v is not None}
+        if initial not in ("optimized", "simple"):
+            raise ValueError("initial must be 'optimized' or 'simple'")
+        self.initial = initial
 
     def _candidates(self, y):
         e_spec, t_spec, s_spec = self.model[0], self.model[1], self.model[2]
@@ -419,7 +465,8 @@ class AutoETS(Model):
     def _fit(self, y):
         best = None
         for e, t, s, d in self._candidates(y):
-            fit = _fit_one(y, self.m, e, t, s, d)
+            fit = _fit_one(y, self.m, e, t, s, d, fixed=self.fixed,
+                           initial=self.initial)
             if fit is None:
                 continue
             if best is None or fit["aicc"] < best["aicc"]:
@@ -491,10 +538,15 @@ class ETS(AutoETS):
     """Fixed-spec ETS (no Z components allowed)."""
 
     def __init__(self, season_length: int = 1, model: str = "ANN",
-                 damped: bool = False, alias: str | None = None):
+                 damped: bool = False,
+                 alpha: float | None = None, beta: float | None = None,
+                 gamma: float | None = None, phi: float | None = None,
+                 initial: str = "optimized", alias: str | None = None):
         if "Z" in model.upper():
             raise ValueError("ETS requires a concrete model string; use AutoETS for Z")
-        super().__init__(season_length, model.upper(), damped, alias or "ETS")
+        super().__init__(season_length, model.upper(), damped,
+                         alpha=alpha, beta=beta, gamma=gamma, phi=phi,
+                         initial=initial, alias=alias or "ETS")
 
 
 class Holt(AutoETS):

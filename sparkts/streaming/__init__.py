@@ -3,3 +3,4 @@ from sparkts.streaming.rollup import (  # noqa: F401
     stream_rollup,
     write_tier_stream,
 )
+from sparkts.streaming.anomaly import stream_anomaly_flags  # noqa: F401

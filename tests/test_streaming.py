@@ -52,3 +52,60 @@ def test_stream_rollup_equals_batch(spark, events_dir, tmp_path_factory):
     assert len(g) == len(b) and len(g) > 0
     pd.testing.assert_frame_equal(g, b, check_exact=False, rtol=1e-12)
     assert os.path.isdir(ckpt)
+
+
+class TestStatefulAnomaly:
+    """applyInPandasWithState custom operator: per-key SES state persists
+    across micro-batches AND across query restarts (checkpointed state)."""
+
+    def _mk_input(self, spark, d, part, rows):
+        import pandas as pd
+        pdf = pd.DataFrame(rows, columns=["key", "ts", "y"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/part={part}")
+
+    def test_state_survives_batches_and_restart(self, spark, tmp_path_factory):
+        import numpy as np
+        from sparkts.streaming import stream_anomaly_flags
+
+        src = str(tmp_path_factory.mktemp("anom_src"))
+        out = str(tmp_path_factory.mktemp("anom_out"))
+        ckpt = str(tmp_path_factory.mktemp("anom_ckpt"))
+        rng = np.random.default_rng(0)
+        # phase 1: 40 calm points per key
+        rows1 = [("a", t, float(10 + rng.normal(0, 0.5))) for t in range(40)]
+        self._mk_input(spark, src, 0, rows1)
+        schema = "key string, ts long, y double"
+
+        def run_once():
+            stream = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1).parquet(src)
+            flags = stream_anomaly_flags(stream, "key", "ts", "y",
+                                         alpha=0.3, k=4.0, min_obs=10)
+            q = (flags.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .format("parquet").option("path", out).start())
+            q.awaitTermination(120)
+
+        run_once()
+        first = spark.read.parquet(out).toPandas()
+        assert len(first) == 40
+        assert not first["is_anomaly"].any()  # calm data, warm-up respected
+
+        # phase 2 arrives later: calm points + one 50-sigma spike. A fresh
+        # query on the same checkpoint must RESUME the state (n>=min_obs,
+        # learned level ~10) and flag only the spike.
+        rows2 = [("a", 40 + t, float(10 + rng.normal(0, 0.5)))
+                 for t in range(10)]
+        rows2[5] = ("a", 45, 40.0)  # spike
+        self._mk_input(spark, src, 1, rows2)
+        run_once()
+        both = spark.read.parquet(out).toPandas().sort_values("ts")
+        assert len(both) == 50
+        flagged = both[both["is_anomaly"]]
+        assert list(flagged["ts"]) == [45]
+        # resumed level is the learned ~10, not a cold restart at the
+        # first phase-2 value
+        lvl45 = both[both.ts == 45]["level"].iloc[0]
+        assert abs(lvl45 - 10) < 1.5
