@@ -616,6 +616,27 @@ def q_theta_fc(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("AutoTheta", 4).alias("theta_fc"))
 
 
+def q_theta_fixed_fc(spark, sf_dir):
+    """Standard Theta (STM) with PINNED parameters (α=0.5, θ=2, initial
+    level = y₀/2 — the reference test fixture's parameterization,
+    tests/test_theta.py:18) on the daily tier, m=1. The theta state
+    recursion collapses to a closed form under pinning (level update is
+    SES; the trend-line correction is a power series), so the DuckDB
+    oracle value-checks the full recursion; the optimizer path stays in
+    theta_fc."""
+    from sparkts.kernels import Theta
+
+    sf = SparkForecast(
+        [Theta(season_length=1,
+               fixed_params={"alpha": 0.5, "initial_smoothed": "default"},
+               alias="ThetaFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds",
+                      F.round("ThetaFixed", 4).alias("theta_fc"))
+
+
 def q_cv_multimodel(spark, sf_dir):
     """Rolling-origin CV with three models at once (schema-wide kernel)."""
     sf = SparkForecast(
@@ -941,6 +962,29 @@ def q_ucm_fc(spark, sf_dir):
                       F.round("LocalLinearTrend", 4).alias("ucm_fc"))
 
 
+def q_ucm_fixed_fc(spark, sf_dir):
+    """Local-level UCM with PINNED variances (log-vars −1/−2 relative to
+    var(y)) — one deterministic Kalman pass, so a DuckDB RECURSIVE CTE
+    replays the filter (predict/update scalar recursion with the kernel's
+    exact floating-point association) and the covariance propagation shows
+    up in the verified 90% intervals. The MLE path stays in ucm_fc."""
+    from sparkts.kernels import UCM
+
+    sf = SparkForecast(
+        [UCM(level="local level",
+             fixed={"log_var_irr": -1.0, "log_var_level": -2.0},
+             alias="UCMFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=6, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("UCMFixed", 4).alias("ucm_fc"),
+        F.round("UCMFixed-lo-90", 4).alias("ucm_lo90"),
+        F.round("UCMFixed-hi-90", 4).alias("ucm_hi90"),
+    )
+
+
 def q_garch_fc(spark, sf_dir):
     """GARCH(1,1) volatility forecast on per-event-type hourly log-returns
     of v_sum (demeaned). Seeded simulated path per the reference's
@@ -1003,12 +1047,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothing_fc": q_smoothing_fc,
         "smoothing_opt_fc": q_smoothing_opt_fc,
         "theta_fc": q_theta_fc,
+        "theta_fixed_fc": q_theta_fixed_fc,
         "cv_multimodel": q_cv_multimodel,
         "holt_fixed_fc": q_holt_fixed_fc,
         "autoets_fc": q_autoets_fc,
         "mstl_fc": q_mstl_fc,
         "arima_fc": q_arima_fc,
         "arima_css_fc": q_arima_css_fc,
+        "ucm_fixed_fc": q_ucm_fixed_fc,
         "garch_fc": q_garch_fc,
         "ces_fc": q_ces_fc,
         "simulate_paths": q_simulate_paths,
@@ -1422,6 +1468,113 @@ def _holt_fixed_sql(alpha: float = 0.5, beta: float = 0.1) -> str:
     """
 
 
+def _theta_fixed_sql(alpha: float = 0.5, theta: float = 2.0) -> str:
+    """Closed-form twin of the pinned STM recursion (kernels/theta.py):
+    an/bn from the OLS trend line, the level via the SES power-weight sum
+    with l₋₁ = y₁/2, and the h-step rollout via
+    level_{j+1} = level_j + α·k·g(n+j) (α + (1−α) = 1 collapses the mu
+    feedback), mu_j = level_j + k·g(n+j), g(i) = an·c^i + bn(1−c^{i+1})/α."""
+    c = 1.0 - alpha
+    k = 1.0 - 1.0 / theta
+    g = (f"(st.an * power({c!r}, st.n + u) "
+         f"+ st.bn * (1 - power({c!r}, st.n + u + 1)) / {alpha!r})")
+    g_s = (f"(st.an * power({c!r}, st.n + s - 1) "
+           f"+ st.bn * (1 - power({c!r}, st.n + s)) / {alpha!r})")
+    return f"""
+    WITH dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n
+      FROM dpanel
+    ),
+    st AS (
+      SELECT unique_id, max(n) AS n,
+             avg(y) - (max(n) + 1) *
+               (6.0 * (2.0 * sum(rn * y) / max(n) - (max(n) + 1) * avg(y))
+                / (max(n)::DOUBLE * max(n) - 1)) / 2 AS an,
+             6.0 * (2.0 * sum(rn * y) / max(n) - (max(n) + 1) * avg(y))
+               / (max(n)::DOUBLE * max(n) - 1) AS bn,
+             sum(CASE WHEN rn = 1
+                      THEN power({c!r}, n - 1)
+                           * ({alpha!r} * y + {c!r} * y / 2.0)
+                      ELSE {alpha!r} * power({c!r}, n - rn) * y END) AS ln
+      FROM idx GROUP BY unique_id
+    ),
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM dpanel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + to_days(s::INT) AS ds,
+           round(
+             st.ln
+             + {alpha!r} * {k!r} *
+               coalesce(list_sum(list_transform(range(0, s - 1), u -> {g})), 0)
+             + {k!r} * {g_s}
+           , 4) AS theta_fc
+    FROM lastd l JOIN st USING (unique_id),
+         unnest(generate_series(1, 7)) t(s)
+    """
+
+
+def _ucm_fixed_sql() -> str:
+    """Recursive-CTE twin of the pinned-variance local-level Kalman filter
+    (kernels/ucm.py _kalman, 1-state): H = var_pop(y)·e^{-1},
+    q = var_pop(y)·e^{-2}, diffuse-ish P0 = 1e7; update written with the
+    kernel's association (K = Pp/S; x' = x + K·v; P' = Pp − K·Pp)."""
+    z90 = norm_ppf(0.95)
+    return f"""
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n
+      FROM dpanel
+    ),
+    vy AS (
+      SELECT unique_id, greatest(var_pop(y), 1e-8) AS var_y FROM dpanel
+      GROUP BY 1
+    ),
+    hq AS (
+      SELECT unique_id, var_y * exp(-1.0) AS hvar, var_y * exp(-2.0) AS q
+      FROM vy
+    ),
+    rec(unique_id, rn, x, p) AS (
+      -- post-update state after observing row rn; the first observation
+      -- uses the prior (0, 1e7) with NO predict step (kernels/ucm.py t=0)
+      SELECT i.unique_id, 1::BIGINT,
+             0.0 + (1e7 / (1e7 + h.hvar)) * (i.y - 0.0),
+             1e7 - (1e7 / (1e7 + h.hvar)) * 1e7
+      FROM idx i JOIN hq h USING (unique_id) WHERE i.rn = 1
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             r.x + ((r.p + h.q) / ((r.p + h.q) + h.hvar)) * (i.y - r.x),
+             (r.p + h.q)
+               - ((r.p + h.q) / ((r.p + h.q) + h.hvar)) * (r.p + h.q)
+      FROM rec r
+      JOIN hq h USING (unique_id)
+      JOIN idx i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    fin AS (
+      SELECT r.unique_id, r.x, r.p
+      FROM rec r JOIN (SELECT unique_id, max(rn) AS mr FROM rec GROUP BY 1) mx
+        ON mx.unique_id = r.unique_id AND r.rn = mx.mr
+    ),
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM dpanel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + to_days(s::INT) AS ds,
+           round(f.x, 4) AS ucm_fc,
+           round(f.x - {z90!r} * sqrt(f.p + s * h.q + h.hvar), 4) AS ucm_lo90,
+           round(f.x + {z90!r} * sqrt(f.p + s * h.q + h.hvar), 4) AS ucm_hi90
+    FROM lastd l
+    JOIN fin f USING (unique_id)
+    JOIN hq h USING (unique_id),
+         unnest(generate_series(1, 6)) t(s)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stats = (
         "count(value) AS n_rows, round(sum(value), 4) AS v_sum, "
@@ -1826,6 +1979,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "intermittent_fc": _intermittent_sql(),
         "holt_fixed_fc": _holt_fixed_sql(),
+        "ucm_fixed_fc": _ucm_fixed_sql(),
+        "theta_fixed_fc": _theta_fixed_sql(),
         "smoothing_fc": _smoothing_sql(),
         "arima_fc": _arima_drift_sql(),
         "media_features": """

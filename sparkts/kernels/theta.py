@@ -121,7 +121,10 @@ def _calc(y, model_type, level0, alpha, theta, nmse):
 # fitting (theta.py:25-141 semantics)
 # --------------------------------------------------------------------------- #
 
-def theta_fit(y, m, model_type, nmse=3):
+def theta_fit(y, m, model_type, nmse=3, fixed=None):
+    """``fixed`` pins parameters by name (initial_smoothed / alpha / theta)
+    — with everything pinned the fit is one deterministic filter pass (how
+    the driver's SQL oracle and the R goldens drive the recursion)."""
     y = np.asarray(y, dtype=np.float64)
     level0, alpha, theta = y[0] / 2, 0.5, 2.0
     opt_theta = model_type in _OPT_THETA
@@ -129,8 +132,19 @@ def theta_fit(y, m, model_type, nmse=3):
     x0 = np.array([level0, alpha] + ([theta] if opt_theta else []))
     lower = np.array([-1e10, 0.1] + ([1.0] if opt_theta else []))
     upper = np.array([1e10, 0.99] + ([1e10] if opt_theta else []))
+    fixed = dict(fixed or {})
+    freeze = np.zeros(x0.size, dtype=bool)
+    for i, nm in enumerate(names):
+        if nm in fixed:
+            # the sentinel "default" freezes at the data-derived seed
+            # (initial_smoothed = y[0]/2 — per series, so a static value
+            # can't express it)
+            if fixed[nm] != "default":
+                x0[i] = fixed[nm]
+            freeze[i] = True
+    free = ~freeze
 
-    def objective(x):
+    def objective_full(x):
         lv, al = x[0], x[1]
         th = x[2] if opt_theta else 2.0
         try:
@@ -141,7 +155,17 @@ def theta_fit(y, m, model_type, nmse=3):
             return 1e10
         return max(obj, -1e10)
 
-    x_best, _ = nelder_mead(objective, x0, lower, upper)
+    if not free.any():
+        x_best = x0
+    else:
+        def objective(xf):
+            x = x0.copy()
+            x[free] = xf
+            return objective_full(x)
+
+        xf, _ = nelder_mead(objective, x0[free], lower[free], upper[free])
+        x_best = x0.copy()
+        x_best[free] = xf
     lv, al = float(x_best[0]), float(x_best[1])
     th = float(x_best[2]) if opt_theta else 2.0
     amse, e, states, mse = _calc(y, model_type, lv, al, th, nmse)
@@ -200,7 +224,8 @@ def seasonality_test(y, m):
     return bool(np.abs(r[-1]) / stat > norm_ppf(0.95))
 
 
-def auto_theta(y, m, model=None, nmse=3, decomposition_type="multiplicative"):
+def auto_theta(y, m, model=None, nmse=3, decomposition_type="multiplicative",
+               fixed=None):
     """Fit the best theta variant with optional seasonal adjustment
     (reference theta.py:470-551 semantics)."""
     y = np.asarray(y, dtype=np.float64)
@@ -222,7 +247,7 @@ def auto_theta(y, m, model=None, nmse=3, decomposition_type="multiplicative"):
     candidates = [model] if model else list(_MODEL_TYPES)
     best = None
     for mt in candidates:
-        fit = theta_fit(y_work, m, mt, nmse)
+        fit = theta_fit(y_work, m, mt, nmse, fixed=fixed)
         if np.isfinite(fit["mse"]) and (best is None or fit["mse"] < best["mse"]):
             best = fit
     if best is None:
@@ -298,11 +323,14 @@ class AutoTheta(Model):
         self,
         season_length: int = 1,
         decomposition_type: str = "multiplicative",
+        fixed_params: dict | None = None,
         alias: str | None = None,
     ):
         super().__init__(alias or type(self).__name__)
         self.season_length = int(season_length)
         self.decomposition_type = decomposition_type
+        #: pinned parameters (initial_smoothed / alpha / theta)
+        self.fixed_params = dict(fixed_params) if fixed_params else None
 
     def forecast(self, y, h, level=None, fitted=False):
         y = np.asarray(y, dtype=np.float64)
@@ -317,6 +345,7 @@ class AutoTheta(Model):
         fit = auto_theta(
             y, self.season_length, model=self._fixed_type,
             decomposition_type=self.decomposition_type,
+            fixed=self.fixed_params,
         )
         res = forecast_theta(fit, h, level=level)
         if fitted:

@@ -78,8 +78,15 @@ class UCM(Model):
                  stochastic_seasonal: bool = True,
                  stochastic_cycle: bool = False, damped_cycle: bool = False,
                  cycle_period_bounds: tuple | None = None,
+                 fixed: dict | None = None,
                  alias: str | None = None):
         super().__init__(alias or "UCM")
+        #: pinned parameters by spec name (log_var_irr, log_var_level,
+        #: log_var_trend, log_var_seas, log_var_cycle, log_var_ar,
+        #: cycle_freq, cycle_rho, ar1…) — values on the SAME scale the
+        #: optimizer uses (log-variances are relative to var(y)). With
+        #: everything pinned the fit is one deterministic Kalman pass.
+        self.fixed = dict(fixed) if fixed else {}
         if level is True:
             level = "local level"
         if isinstance(level, str):
@@ -218,7 +225,16 @@ class UCM(Model):
                              f"for {k} states")
         var_y = max(float(np.var(y)), 1e-8)
 
-        def nll(x):
+        names = [p[0] for p in params]
+        unknown = set(self.fixed) - set(names)
+        if unknown:
+            raise ValueError(
+                f"fixed refers to unknown parameters {sorted(unknown)}; "
+                f"valid: {names}")
+        fixed_full = np.array([self.fixed.get(nm, np.nan) for nm in names])
+        free = np.isnan(fixed_full)
+
+        def nll_full(x):
             T, Q, H = self._build(x, k, layout, params, var_y)
             if not self.irregular and not Q.any():
                 return np.inf
@@ -228,13 +244,26 @@ class UCM(Model):
         x0 = np.array([p[3] for p in params])
         lo = np.array([p[1] for p in params])
         hi = np.array([p[2] for p in params])
-        xb, fb = nelder_mead(nll, x0, lo, hi, max_iter=600, tol_std=1e-8)
-        for _ in range(2):  # incumbent restart (multi-modal in cycle freq)
-            cand, fcand = nelder_mead(nll, xb, lo, hi, max_iter=600,
-                                      tol_std=1e-8, init_step=0.3)
-            if fcand >= fb - 1e-10:
-                break
-            xb, fb = cand, fcand
+        x0[~free] = fixed_full[~free]
+        if not free.any():
+            xb = x0
+        else:
+            def nll(xf):
+                x = x0.copy()
+                x[free] = xf
+                return nll_full(x)
+
+            xf, fb = nelder_mead(nll, x0[free], lo[free], hi[free],
+                                 max_iter=600, tol_std=1e-8)
+            for _ in range(2):  # incumbent restart (multi-modal cycle freq)
+                cand, fcand = nelder_mead(nll, xf, lo[free], hi[free],
+                                          max_iter=600, tol_std=1e-8,
+                                          init_step=0.3)
+                if fcand >= fb - 1e-10:
+                    break
+                xf, fb = cand, fcand
+            xb = x0.copy()
+            xb[free] = xf
         T, Q, H = self._build(xb, k, layout, params, var_y)
         return {"T": T, "Z": Z, "Q": Q, "H": H, "params": xb, "y": y}
 
