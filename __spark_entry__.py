@@ -743,6 +743,25 @@ def q_simulate_paths(spark, sf_dir):
     )
 
 
+def q_simulate_hash(spark, sf_dir):
+    """Error-recursive simulation, value-checked end to end: Naive +
+    SeasonalNaive(3) with error_dist='hash-bootstrap' — every draw is
+    resid[md5(seed|path|step) % n], so DuckDB recomputes the identical
+    error matrix AND the recursions: Naive's cumsum (reference
+    models.py:3539-3553) and, with h=6 > m=3, SeasonalNaive's seasonal
+    carry paths[i] = paths[i−m] + e (models.py:4038-4044) — the compounding
+    the sample-variance growth depends on. rng-driven draws stay in
+    simulate_paths."""
+    sf = SparkForecast([Naive(), SeasonalNaive(3, alias="SN3")], freq="h")
+    out = sf.simulate(_dense_panel(spark, sf_dir), h=6, n_paths=4, seed=7,
+                      error_dist="hash-bootstrap")
+    return out.select(
+        "unique_id", "ds", "sample_id",
+        F.round("Naive", 4).alias("naive_path"),
+        F.round("SN3", 4).alias("sn3_path"),
+    )
+
+
 def q_mfles_fc(spark, sf_dir):
     """MFLES gradient-boosted decomposition forecast on the daily tier."""
     from sparkts.kernels import MFLES
@@ -953,6 +972,37 @@ def q_csp_intervals(spark, sf_dir):
     )
 
 
+def q_conformal_fc(spark, sf_dir):
+    """Generic conformal-interval machinery, value-checked end to end:
+    Naive + ConformalIntervals(method='conformal_error') and fixed-α SES +
+    'conformal_distribution' (reference models.py:116-161 quantile
+    combination, models.py:188-218 rolling-window scores). Both legs are
+    deterministic — window forecasts are closed forms, so DuckDB recomputes
+    the 4-window score matrix and the linear-interpolated quantiles
+    (quantile_cont ≡ np.quantile) exactly."""
+    from sparkts.kernels import ConformalIntervals
+
+    naive = Naive(
+        alias="NaiveCE",
+        prediction_intervals=ConformalIntervals(
+            n_windows=4, h=6, method="conformal_error"),
+    )
+    ses = SimpleExponentialSmoothing(0.5, alias="SESCD")
+    ses.prediction_intervals = ConformalIntervals(
+        n_windows=4, h=6, method="conformal_distribution")
+    sf = SparkForecast([naive, ses], freq="h")
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=6, level=[80])
+    return out.select(
+        "unique_id", "ds",
+        F.round("NaiveCE", 4).alias("naive_mean"),
+        F.round("NaiveCE-lo-80", 4).alias("naive_lo80"),
+        F.round("NaiveCE-hi-80", 4).alias("naive_hi80"),
+        F.round("SESCD", 4).alias("ses_mean"),
+        F.round("SESCD-lo-80", 4).alias("ses_lo80"),
+        F.round("SESCD-hi-80", 4).alias("ses_hi80"),
+    )
+
+
 def q_ucm_fc(spark, sf_dir):
     """Structural state-space LocalLinearTrend via Kalman MLE on the daily
     tier."""
@@ -995,6 +1045,30 @@ def q_garch_fc(spark, sf_dir):
     sf = SparkForecast([GARCH(1, 1)], freq="h")
     out = sf.forecast(panel, h=12)
     return out.select("unique_id", "ds", F.round("GARCH(1,1)", 4).alias("garch_fc"))
+
+
+def q_garch_fixed_fc(spark, sf_dir):
+    """GARCH(1,1) with PINNED coefficients (ω=0.1, α=0.1, β=0.8) on the
+    standardized hourly panel. The σ² filter and the seeded forecast path
+    (the reference's seed-1 ε sequence, garch.py:103-134 — fixed literals,
+    like the LSH plane literals) are then one deterministic recursion, so a
+    DuckDB RECURSIVE CTE value-checks filter + forecast + gaussian
+    intervals; the MLE path stays in garch_fc."""
+    w = W.partitionBy("unique_id")
+    panel = _dense_panel(spark, sf_dir).withColumn(
+        "y", (F.col("y") - F.avg("y").over(w)) / F.stddev("y").over(w)
+    )
+    sf = SparkForecast(
+        [GARCH(1, 1, fixed_coeff=[0.1, 0.1, 0.8], alias="GARCHFixed")],
+        freq="h",
+    )
+    out = sf.forecast(panel, h=6, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("GARCHFixed", 4).alias("garch_fc"),
+        F.round("GARCHFixed-lo-90", 4).alias("garch_lo90"),
+        F.round("GARCHFixed-hi-90", 4).alias("garch_hi90"),
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -1056,9 +1130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima_css_fc": q_arima_css_fc,
         "ucm_fixed_fc": q_ucm_fixed_fc,
         "garch_fc": q_garch_fc,
+        "garch_fixed_fc": q_garch_fixed_fc,
         "ces_fc": q_ces_fc,
         "simulate_paths": q_simulate_paths,
+        "simulate_hash": q_simulate_hash,
         "csp_intervals": q_csp_intervals,
+        "conformal_fc": q_conformal_fc,
         "ucm_fc": q_ucm_fc,
         "mfles_fc": q_mfles_fc,
         "tbats_fc": q_tbats_fc,
@@ -1575,6 +1652,141 @@ def _ucm_fixed_sql() -> str:
     """
 
 
+def _simulate_hash_sql(seed: int = 7, n_paths: int = 4, h: int = 6,
+                       m: int = 3) -> str:
+    """DuckDB twin of hash-bootstrap simulate (engine.py simulate +
+    kernels/base.py sample_errors + basic.py _sim_paths): per-series seed
+    md5('{seed}:'||uid)[:8] % 2^31, draw (p,j) = resid[md5(s|p|j)[:8] %
+    n_resid], Naive path = y_n + running Σe, SeasonalNaive(m) path =
+    mean + e for steps ≤ m then path[j−m] + e (one carry level at h=2m)."""
+    return f"""
+    WITH {_PANEL_CTE},
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM panel
+    ),
+    seeds AS (
+      SELECT DISTINCT unique_id, n, last_ds,
+             ('0x' || substr(md5('{seed}:' || unique_id), 1, 8))::BIGINT
+               % 2147483648 AS s
+      FROM idx
+    ),
+    dn AS (  -- Naive residuals y_t − y_{{t−1}}, 0-based time order
+      SELECT unique_id, rn - 2 AS k,
+             y - lag(y) OVER (PARTITION BY unique_id ORDER BY rn) AS d
+      FROM idx QUALIFY rn >= 2
+    ),
+    dm AS (  -- SeasonalNaive({m}) residuals y_t − y_{{t−{m}}}
+      SELECT unique_id, rn - {m + 1} AS k,
+             y - lag(y, {m}) OVER (PARTITION BY unique_id ORDER BY rn) AS d
+      FROM idx QUALIFY rn >= {m + 1}
+    ),
+    grid AS (
+      SELECT se.unique_id, se.n, se.last_ds, p.p, j.j,
+             ('0x' || substr(md5(se.s::VARCHAR || '|' || p.p || '|'
+                                 || (j.j - 1)), 1, 8))::BIGINT AS hb
+      FROM seeds se,
+           unnest(generate_series(0, {n_paths - 1})) p(p),
+           unnest(generate_series(1, {h})) j(j)
+    ),
+    errs AS (
+      SELECT g.unique_id, g.n, g.last_ds, g.p, g.j,
+             n_.d AS en, m_.d AS em
+      FROM grid g
+      JOIN dn n_ ON n_.unique_id = g.unique_id
+                AND n_.k = g.hb % (g.n - 1)
+      JOIN dm m_ ON m_.unique_id = g.unique_id
+                AND m_.k = g.hb % (g.n - {m})
+    ),
+    np_ AS (  -- Naive: y_n + running sum of draws
+      SELECT e.unique_id, e.last_ds, e.p, e.j,
+             yl.y + sum(e.en) OVER (PARTITION BY e.unique_id, e.p
+                                    ORDER BY e.j) AS naive_path,
+             e.em
+      FROM errs e
+      JOIN idx yl ON yl.unique_id = e.unique_id AND yl.rn = yl.n
+    ),
+    sn AS (  -- SeasonalNaive mean_j = y(rn = n−{m}+((j−1)%{m})+1)
+      SELECT e.unique_id, e.p, e.j,
+             mv.y + e.em AS base
+      FROM errs e
+      JOIN idx mv ON mv.unique_id = e.unique_id
+                 AND mv.rn = mv.n - {m} + ((e.j - 1) % {m}) + 1
+    )
+    SELECT np_.unique_id, np_.last_ds + to_hours(np_.j::INT) AS ds,
+           np_.p AS sample_id,
+           round(np_.naive_path, 4) AS naive_path,
+           round(CASE WHEN np_.j <= {m} THEN s1.base
+                      ELSE s2.base + np_.em END, 4) AS sn3_path
+    FROM np_
+    JOIN sn s1 ON s1.unique_id = np_.unique_id AND s1.p = np_.p
+              AND s1.j = np_.j
+    LEFT JOIN sn s2 ON s2.unique_id = np_.unique_id AND s2.p = np_.p
+                   AND s2.j = np_.j - {m}
+    """
+
+
+def _garch_fixed_sql(w: float = 0.1, a: float = 0.1, b: float = 0.8,
+                     h: int = 6) -> str:
+    """Recursive-CTE twin of the pinned-coefficient GARCH(1,1) filter +
+    seeded forecast (kernels/garch.py): σ²₁ = var_pop(z), σ²ₜ = ω + α·z²ₜ₋₁
+    + β·σ²ₜ₋₁, then the h-step path yₛ = εₛ·√σ²ₛ with the seed-1 ε sequence
+    inlined as literals (it is data-independent — part of the model spec,
+    same precedent as the LSH plane literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    eps = [float(rng.normal(0, 1)) for _ in range(h)]
+    eps_rows = ", ".join(f"({s + 1}, {e!r})" for s, e in enumerate(eps))
+    z90 = norm_ppf(0.95)
+    return f"""
+    WITH RECURSIVE {_PANEL_CTE},
+    zidx AS (
+      SELECT unique_id, ds,
+             (y - avg(y) OVER (PARTITION BY unique_id))
+               / stddev_samp(y) OVER (PARTITION BY unique_id) AS z,
+             row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM panel
+    ),
+    vp AS (SELECT unique_id, var_pop(z) AS v0 FROM zidx GROUP BY 1),
+    filt(unique_id, rn, s2) AS (
+      SELECT unique_id, 1::BIGINT, v0 FROM vp
+      UNION ALL
+      SELECT f.unique_id, f.rn + 1,
+             {w!r} + {a!r} * i.z * i.z + {b!r} * f.s2
+      FROM filt f JOIN zidx i ON i.unique_id = f.unique_id AND i.rn = f.rn
+      WHERE f.rn < i.n
+    ),
+    fin AS (
+      SELECT z.unique_id, z.z AS zn, f.s2 AS s2n, z.last_ds
+      FROM zidx z JOIN filt f ON f.unique_id = z.unique_id AND f.rn = z.rn
+      WHERE z.rn = z.n
+    ),
+    e(s, eps) AS (VALUES {eps_rows}),
+    fc(unique_id, s, yv, s2f) AS (
+      SELECT fin.unique_id, 1,
+             e.eps * sqrt({w!r} + {a!r} * fin.zn * fin.zn + {b!r} * fin.s2n),
+             {w!r} + {a!r} * fin.zn * fin.zn + {b!r} * fin.s2n
+      FROM fin JOIN e ON e.s = 1
+      UNION ALL
+      SELECT fc.unique_id, fc.s + 1,
+             e.eps * sqrt({w!r} + {a!r} * fc.yv * fc.yv + {b!r} * fc.s2f),
+             {w!r} + {a!r} * fc.yv * fc.yv + {b!r} * fc.s2f
+      FROM fc JOIN e ON e.s = fc.s + 1
+      WHERE fc.s < {h}
+    )
+    SELECT f.unique_id, fin.last_ds + to_hours(f.s::INT) AS ds,
+           round(f.yv, 4) AS garch_fc,
+           round(f.yv - {z90!r} * sqrt(f.s2f), 4) AS garch_lo90,
+           round(f.yv + {z90!r} * sqrt(f.s2f), 4) AS garch_hi90
+    FROM fc f JOIN fin USING (unique_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stats = (
         "count(value) AS n_rows, round(sum(value), 4) AS v_sum, "
@@ -1978,11 +2190,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
         """,
         "intermittent_fc": _intermittent_sql(),
+        "conformal_fc": f"""
+            WITH {_PANEL_CTE},
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+                     count(*) OVER (PARTITION BY unique_id) n,
+                     max(ds) OVER (PARTITION BY unique_id) last_ds
+              FROM panel
+            ),
+            -- calibration window w trains on y[:cut], scores the next 6
+            -- (kernels/base.py _conformal_scores: cut = n - (4-w)*6)
+            cuts AS (
+              SELECT DISTINCT unique_id, n, last_ds, t.w, n - (4 - t.w) * 6 AS cut
+              FROM idx, unnest(generate_series(0, 3)) t(w)
+            ),
+            nb AS (  -- naive window forecast = last train value
+              SELECT c.unique_id, c.w, c.cut, i.y AS base
+              FROM cuts c JOIN idx i ON i.unique_id = c.unique_id AND i.rn = c.cut
+            ),
+            sb AS (  -- SES(0.5) window forecast = level over the prefix
+              SELECT c.unique_id, c.w, c.cut,
+                     sum(CASE WHEN i.rn = 1 THEN power(0.5, c.cut - 1) * i.y
+                              ELSE 0.5 * power(0.5, c.cut - i.rn) * i.y END) AS level
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn <= c.cut
+              GROUP BY 1, 2, 3
+            ),
+            scores AS (
+              SELECT nb.unique_id, nb.w, t.s,
+                     abs(nb.base - iy.y) AS naive_sc,
+                     abs(sb.level - iy.y) AS ses_sc
+              FROM nb
+              JOIN sb ON sb.unique_id = nb.unique_id AND sb.w = nb.w,
+                   unnest(generate_series(1, 6)) t(s)
+              JOIN idx iy ON iy.unique_id = nb.unique_id AND iy.rn = nb.cut + t.s
+            ),
+            means AS (
+              SELECT i.unique_id, max(i.n) AS n, max(i.last_ds) AS last_ds,
+                     max(CASE WHEN i.rn = i.n THEN i.y END) AS naive_mean,
+                     sum(CASE WHEN i.rn = 1 THEN power(0.5, i.n - 1) * i.y
+                              ELSE 0.5 * power(0.5, i.n - i.rn) * i.y END) AS ses_mean
+              FROM idx i GROUP BY i.unique_id
+            ),
+            naive_iv AS (  -- conformal_error: mean ± per-step score quantile
+              SELECT unique_id, s, quantile_cont(naive_sc, 0.80) AS q
+              FROM scores GROUP BY 1, 2
+            ),
+            ses_paths AS (  -- conformal_distribution: quantiles over mean±score
+              SELECT sc.unique_id, sc.s, m.ses_mean - sc.ses_sc AS v
+              FROM scores sc JOIN means m USING (unique_id)
+              UNION ALL
+              SELECT sc.unique_id, sc.s, m.ses_mean + sc.ses_sc
+              FROM scores sc JOIN means m USING (unique_id)
+            ),
+            ses_iv AS (
+              SELECT unique_id, s, quantile_cont(v, 0.10) AS lo,
+                     quantile_cont(v, 0.90) AS hi
+              FROM ses_paths GROUP BY 1, 2
+            )
+            SELECT m.unique_id, m.last_ds + to_hours(ni.s::INT) AS ds,
+                   round(m.naive_mean, 4) AS naive_mean,
+                   round(m.naive_mean - ni.q, 4) AS naive_lo80,
+                   round(m.naive_mean + ni.q, 4) AS naive_hi80,
+                   round(m.ses_mean, 4) AS ses_mean,
+                   round(si.lo, 4) AS ses_lo80,
+                   round(si.hi, 4) AS ses_hi80
+            FROM means m
+            JOIN naive_iv ni USING (unique_id)
+            JOIN ses_iv si ON si.unique_id = m.unique_id AND si.s = ni.s
+        """,
         "holt_fixed_fc": _holt_fixed_sql(),
         "ucm_fixed_fc": _ucm_fixed_sql(),
         "theta_fixed_fc": _theta_fixed_sql(),
         "smoothing_fc": _smoothing_sql(),
         "arima_fc": _arima_drift_sql(),
+        "garch_fixed_fc": _garch_fixed_sql(),
+        "simulate_hash": _simulate_hash_sql(),
         "media_features": """
             WITH b AS (
               SELECT doc_id, length(text)::INT AS n_bytes,

@@ -419,11 +419,14 @@ class SparkForecast:
         simulation.py:106-243).
 
         Determinism under ANY partitioning: each series' RNG seed is
-        crc32(f"{seed}:{id}") — a pure function of (root seed, series id),
+        md5(f"{seed}:{id}")[:8] — a pure function of (root seed, series id),
         unlike the reference's positional per-group seeds (core.py:972),
-        which would change with Spark's partition order.
+        which would change with Spark's partition order. md5-derived (not
+        crc32) so an external SQL engine can recompute the seed — with
+        error_dist='hash-bootstrap' the whole simulation is replayable in
+        SQL (the driver's simulate_hash oracle).
         """
-        import zlib
+        import hashlib
 
         models, freq, fallback = self.models, self.freq, self.fallback_model
         schema = simulate_schema(df.schema[id_col], df.schema[time_col], models)
@@ -433,7 +436,8 @@ class SparkForecast:
             pdf = pdf.sort_values(time_col)
             y = pdf[target_col].to_numpy(dtype=np.float64)
             uid = pdf[id_col].iloc[0]
-            s = zlib.crc32(f"{seed}:{uid}".encode()) & 0x7FFFFFFF
+            s = int(hashlib.md5(f"{seed}:{uid}".encode()).hexdigest()[:8],
+                    16) % 2147483648
             last = pdf[time_col].iloc[-1]
             future = _future_index(last, h, freq)
             data = {

@@ -146,7 +146,7 @@ def conformal_intervals(res: dict, cs: np.ndarray, level: list[int],
 # moment exists), not in exact MLE parameter values.
 
 _SIM_DISTRIBUTIONS = ("normal", "t", "laplace", "skew-normal", "ged",
-                      "bootstrap")
+                      "bootstrap", "hash-bootstrap")
 
 
 def _sample_ged(rng: np.random.Generator, shape: float, size) -> np.ndarray:
@@ -216,6 +216,25 @@ def sample_errors(
             raise ValueError("bootstrap error distribution requires residuals")
         return rng.choice(clean, size=int(np.prod(size)),
                           replace=True).reshape(size)
+
+    if distribution == "hash-bootstrap":
+        # bootstrap with md5-indexed draws instead of rng ones: draw (p, j)
+        # is clean[md5(f"{seed}|{p}|{j}")[:8] % n] — a pure function of the
+        # (seed, path, step) triple, so an external SQL engine can replay
+        # the entire simulation (same convention as the minhash oracle)
+        import hashlib
+
+        if clean is None or clean.size == 0:
+            raise ValueError(
+                "hash-bootstrap error distribution requires residuals")
+        hseed = int((params or {}).get("seed", 0))
+        n_paths, horizon = size
+        idx = np.fromiter(
+            (int(hashlib.md5(f"{hseed}|{p}|{j}".encode()).hexdigest()[:8],
+                 16) % clean.size
+             for p in range(n_paths) for j in range(horizon)),
+            dtype=np.int64, count=n_paths * horizon).reshape(size)
+        return clean[idx]
 
     auto = params is None and clean is not None and clean.size >= 10
     if distribution == "normal":
@@ -404,6 +423,8 @@ class Model:
             resid = y - np.nanmean(y)
         sigma = self._sim_sigma(y, resid)
         rng = np.random.default_rng(seed)
+        if error_dist == "hash-bootstrap":
+            error_params = {**(error_params or {}), "seed": seed}
         errs = sample_errors((n_paths, h), sigma, error_dist, error_params,
                              resid, rng)
         return self._sim_paths(y, h, mean, errs)

@@ -47,26 +47,38 @@ def _neg_loglik(params, y, p, q):
     return 0.5 * float(np.sum(np.log(2 * np.pi) + np.log(s2) + z * z / s2))
 
 
-def garch_fit(y: np.ndarray, p: int, q: int) -> dict:
+def garch_fit(y: np.ndarray, p: int, q: int,
+              fixed_coeff: np.ndarray | None = None) -> dict:
     from sparkts.kernels.optim import nelder_mead
 
     y = np.asarray(y, dtype=np.float64)
-    nparams = 1 + p + q
-    x0 = np.full(nparams, 0.1)  # reference garch.py:64
-    lo = np.full(nparams, 1e-8)
-    hi = np.full(nparams, 10.0)
-    hi[1:] = 1.0
-    # Nelder-Mead with restarts: the GARCH likelihood has a w↔β ridge that a
-    # single simplex can stall on; re-seeding the simplex at the incumbent is
-    # the standard remedy (reference reaches the same point via SLSQP).
-    obj = lambda x: _neg_loglik(x, y, p, q)  # noqa: E731
-    coeff, fbest = nelder_mead(obj, x0, lo, hi, max_iter=2000, tol_std=1e-10)
-    for _ in range(4):
-        cand, fcand = nelder_mead(obj, coeff, lo, hi, max_iter=2000,
-                                  tol_std=1e-10, init_step=0.5)
-        if fcand >= fbest - 1e-10:
-            break
-        coeff, fbest = cand, fcand
+    if fixed_coeff is not None:
+        # pinned (w, α₁..αp, β₁..βq): skip the MLE, run the filter only —
+        # one deterministic pass, which is what the driver's recursive-CTE
+        # SQL oracle replays
+        coeff = np.asarray(fixed_coeff, dtype=np.float64)
+        if coeff.size != 1 + p + q:
+            raise ValueError(
+                f"fixed_coeff needs 1+p+q={1 + p + q} values, got {coeff.size}")
+    else:
+        nparams = 1 + p + q
+        x0 = np.full(nparams, 0.1)  # reference garch.py:64
+        lo = np.full(nparams, 1e-8)
+        hi = np.full(nparams, 10.0)
+        hi[1:] = 1.0
+        # Nelder-Mead with restarts: the GARCH likelihood has a w↔β ridge
+        # that a single simplex can stall on; re-seeding the simplex at the
+        # incumbent is the standard remedy (reference reaches the same point
+        # via SLSQP).
+        obj = lambda x: _neg_loglik(x, y, p, q)  # noqa: E731
+        coeff, fbest = nelder_mead(obj, x0, lo, hi, max_iter=2000,
+                                   tol_std=1e-10)
+        for _ in range(4):
+            cand, fcand = nelder_mead(obj, coeff, lo, hi, max_iter=2000,
+                                      tol_std=1e-10, init_step=0.5)
+            if fcand >= fbest - 1e-10:
+                break
+            coeff, fbest = cand, fcand
     sigma2 = _sigma2_path(coeff, y, p, q)
     # fitted path: seeded noise × conditional vol (reference garch.py:83-89)
     rng = np.random.RandomState(1)
@@ -109,14 +121,18 @@ class GARCH(Model):
 
     tunable = True
 
-    def __init__(self, p: int = 1, q: int = 1, alias: str | None = None):
+    def __init__(self, p: int = 1, q: int = 1,
+                 fixed_coeff: list | None = None, alias: str | None = None):
         super().__init__(alias or (f"GARCH({p},{q})" if q else f"ARCH({p})"))
         if p <= 0:
             raise ValueError("p must be > 0")
         self.p, self.q = p, q
+        #: pinned (w, α₁..αp, β₁..βq) — skips the MLE entirely
+        self.fixed_coeff = (np.asarray(fixed_coeff, dtype=np.float64)
+                            if fixed_coeff is not None else None)
 
     def _forecast(self, y, h, fitted):
-        mod = garch_fit(y, self.p, self.q)
+        mod = garch_fit(y, self.p, self.q, fixed_coeff=self.fixed_coeff)
         fc = garch_forecast(mod, h)
         sigmah = np.sqrt(np.maximum(fc["sigma2"], 0.0))
         return fc["mean"], sigmah, fc["fitted"] if fitted else None
@@ -126,4 +142,4 @@ class ARCH(GARCH):
     """ARCH(p) = GARCH(p,0) (reference models.py:6721)."""
 
     def __init__(self, p: int = 1, alias: str | None = None):
-        super().__init__(p, 0, alias or f"ARCH({p})")
+        super().__init__(p, 0, alias=alias or f"ARCH({p})")
