@@ -1047,6 +1047,75 @@ def q_garch_fc(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("GARCH(1,1)", 4).alias("garch_fc"))
 
 
+def q_tbats_fixed_fc(spark, sf_dir):
+    """TBATS with PINNED parameters (α=0.1, γ₁=γ₂=0.05, l0 at its
+    regression seed) and one pinned harmonic for m=7, no trend/Box-Cox.
+    The trig state space is then one deterministic 3-state recursion
+    (level + one cos/sin pair; De Livera-Hyndman-Snyder innovations form),
+    with closed-form seeds (OLS line + 2×2 harmonic normal equations), so
+    a DuckDB RECURSIVE CTE replays filter + rollout + √step intervals.
+    The AIC variant/harmonic search stays in tbats_fc."""
+    from sparkts.kernels import AutoTBATS
+
+    sf = SparkForecast(
+        [AutoTBATS(season_length=7, use_boxcox=False, use_trend=False,
+                   use_damped_trend=False, harmonics=[1],
+                   fixed_params={"alpha": 0.1, "g1_0": 0.05, "g2_0": 0.05,
+                                 "l0": "default"},
+                   alias="TBATSFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("TBATSFixed", 4).alias("tbats_fc"),
+        F.round("TBATSFixed-lo-90", 4).alias("tbats_lo90"),
+        F.round("TBATSFixed-hi-90", 4).alias("tbats_hi90"),
+    )
+
+
+def q_mfles_fixed_fc(spark, sf_dir):
+    """MFLES restricted to its deterministic closed-form core: no
+    seasonality, robust=False, max_rounds=2 — the boosting loop reduces to
+    median init + one OLS trend round + the trend-R² damping penalty
+    (reference mfles.py:360-583 semantics). Every piece (z-score, median,
+    OLS line, MSE acceptance test, penalty, residual sigma) is a plain
+    aggregation, so DuckDB value-checks the whole fit + predict + gaussian
+    intervals; the full boosting path stays in mfles_fc."""
+    from sparkts.kernels import MFLES
+
+    sf = SparkForecast(
+        [MFLES(season_length=None, robust=False, max_rounds=2,
+               alias="MFLESFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("MFLESFixed", 4).alias("mfles_fc"),
+        F.round("MFLESFixed-lo-90", 4).alias("mfles_lo90"),
+        F.round("MFLESFixed-hi-90", 4).alias("mfles_hi90"),
+    )
+
+
+def q_ces_fixed_fc(spark, sf_dir):
+    """Nonseasonal CES with PINNED complex-smoothing parameters
+    (α₀=1.2, α₁=0.9) on the daily tier. The fit collapses to one
+    deterministic BACKFIT filter (forward → reverse → forward,
+    src/ces.cpp:218-278 semantics), so a DuckDB recursive-CTE chain replays
+    all three passes plus the zero-error forecast rollout; the optimizer +
+    season-selection path stays in ces_fc."""
+    sf = SparkForecast(
+        [AutoCES(season_length=1, model="N",
+                 fixed_params={"alpha_0": 1.2, "alpha_1": 0.9},
+                 alias="CESFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=5)
+    return out.select("unique_id", "ds",
+                      F.round("CESFixed", 4).alias("ces_fc"))
+
+
 def q_garch_fixed_fc(spark, sf_dir):
     """GARCH(1,1) with PINNED coefficients (ω=0.1, α=0.1, β=0.8) on the
     standardized hourly panel. The σ² filter and the seeded forecast path
@@ -1132,13 +1201,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "garch_fc": q_garch_fc,
         "garch_fixed_fc": q_garch_fixed_fc,
         "ces_fc": q_ces_fc,
+        "ces_fixed_fc": q_ces_fixed_fc,
         "simulate_paths": q_simulate_paths,
         "simulate_hash": q_simulate_hash,
         "csp_intervals": q_csp_intervals,
         "conformal_fc": q_conformal_fc,
         "ucm_fc": q_ucm_fc,
         "mfles_fc": q_mfles_fc,
+        "mfles_fixed_fc": q_mfles_fixed_fc,
         "tbats_fc": q_tbats_fc,
+        "tbats_fixed_fc": q_tbats_fixed_fc,
         "media_features": q_media_features,
         "ols_exog": q_ols_exog,
         "winnow_pairs": q_winnow_pairs,
@@ -1649,6 +1721,276 @@ def _ucm_fixed_sql() -> str:
     JOIN fin f USING (unique_id)
     JOIN hq h USING (unique_id),
          unnest(generate_series(1, 6)) t(s)
+    """
+
+
+def _tbats_fixed_sql(alpha: float = 0.1, g1: float = 0.05, g2: float = 0.05,
+                     m: int = 7, h: int = 7) -> str:
+    """Recursive-CTE twin of the pinned TBATS filter (kernels/tbats.py
+    _run_tbats, 3 states: level + one cos/sin harmonic pair of period m):
+    seeds from the OLS trend line (l0 = intercept) and the 2×2 harmonic
+    normal equations on the detrended series; filter update
+    l' = l + α·e, s1' = s1·cosλ + s2·sinλ + γ₁·e,
+    s2' = −s1·sinλ + s2·cosλ + γ₂·e; forecast = l + s1 under zero-error
+    rotation; σₛ = √(Σe²/n · s)."""
+    z90 = norm_ppf(0.95)
+    lam = f"(2 * pi() / {m})"
+    return f"""
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS t,
+             row_number() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+             count(*) OVER (PARTITION BY unique_id) AS n,
+             max(ds) OVER (PARTITION BY unique_id) AS last_ds
+      FROM dpanel
+    ),
+    lin AS (  -- OLS trend line seeds (np.polyfit(t, z, 1) semantics)
+      SELECT unique_id, max(n) AS n, max(last_ds) AS last_ds,
+             (max(n) * sum(t * y) - sum(t) * sum(y))
+               / (max(n) * sum(t * t) - sum(t) * sum(t)) AS slope
+      FROM idx GROUP BY unique_id
+    ),
+    lin2 AS (
+      SELECT l.unique_id, l.n, l.last_ds, l.slope,
+             (sum(i.y) - l.slope * sum(i.t)) / l.n AS icept
+      FROM lin l JOIN idx i USING (unique_id)
+      GROUP BY l.unique_id, l.n, l.last_ds, l.slope
+    ),
+    harm AS (  -- 2x2 normal equations on the detrended series
+      SELECT i.unique_id,
+             sum(cos({lam} * i.t) * cos({lam} * i.t)) AS scc,
+             sum(cos({lam} * i.t) * sin({lam} * i.t)) AS scs,
+             sum(sin({lam} * i.t) * sin({lam} * i.t)) AS sss,
+             sum(cos({lam} * i.t) * (i.y - (l.icept + l.slope * i.t))) AS scd,
+             sum(sin({lam} * i.t) * (i.y - (l.icept + l.slope * i.t))) AS ssd
+      FROM idx i JOIN lin2 l USING (unique_id)
+      GROUP BY i.unique_id
+    ),
+    seeds AS (
+      SELECT l.unique_id, l.n, l.last_ds, l.icept AS l0,
+             (h.scd * h.sss - h.scs * h.ssd)
+               / (h.scc * h.sss - h.scs * h.scs) AS s10,
+             (h.scc * h.ssd - h.scs * h.scd)
+               / (h.scc * h.sss - h.scs * h.scs) AS s20
+      FROM lin2 l JOIN harm h USING (unique_id)
+    ),
+    rec(unique_id, rn, l, s1, s2, e) AS (
+      SELECT sd.unique_id, 1::BIGINT,
+             sd.l0 + {alpha!r} * (i.y - (sd.l0 + sd.s10)),
+             sd.s10 * cos({lam}) + sd.s20 * sin({lam})
+               + {g1!r} * (i.y - (sd.l0 + sd.s10)),
+             -sd.s10 * sin({lam}) + sd.s20 * cos({lam})
+               + {g2!r} * (i.y - (sd.l0 + sd.s10)),
+             i.y - (sd.l0 + sd.s10)
+      FROM seeds sd JOIN idx i ON i.unique_id = sd.unique_id AND i.rn = 1
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             r.l + {alpha!r} * (i.y - (r.l + r.s1)),
+             r.s1 * cos({lam}) + r.s2 * sin({lam})
+               + {g1!r} * (i.y - (r.l + r.s1)),
+             -r.s1 * sin({lam}) + r.s2 * cos({lam})
+               + {g2!r} * (i.y - (r.l + r.s1)),
+             i.y - (r.l + r.s1)
+      FROM rec r JOIN idx i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    sig AS (SELECT unique_id, sum(e * e) / max(rn) AS sigma2 FROM rec
+            GROUP BY 1),
+    fin AS (
+      SELECT r.unique_id, r.l, r.s1, r.s2
+      FROM rec r JOIN seeds sd ON sd.unique_id = r.unique_id AND r.rn = sd.n
+    ),
+    fc(unique_id, s, l, s1, s2) AS (
+      SELECT unique_id, 1, l, s1, s2 FROM fin
+      UNION ALL
+      SELECT unique_id, s + 1, l,
+             s1 * cos({lam}) + s2 * sin({lam}),
+             -s1 * sin({lam}) + s2 * cos({lam})
+      FROM fc WHERE s < {h}
+    )
+    SELECT fc.unique_id, sd.last_ds + to_days(fc.s::INT) AS ds,
+           round(fc.l + fc.s1, 4) AS tbats_fc,
+           round(fc.l + fc.s1 - {z90!r} * sqrt(g.sigma2 * fc.s), 4)
+             AS tbats_lo90,
+           round(fc.l + fc.s1 + {z90!r} * sqrt(g.sigma2 * fc.s), 4)
+             AS tbats_hi90
+    FROM fc
+    JOIN seeds sd USING (unique_id)
+    JOIN sig g USING (unique_id)
+    """
+
+
+def _mfles_fixed_sql(h: int = 7) -> str:
+    """Closed-form twin of the restricted MFLES fit (kernels/mfles.py
+    MFLESCore.fit with no seasonality, robust=False, max_rounds=2):
+    z = (y−μ)/σ_pop, median level, OLS line on z−med accepted iff it lowers
+    the MSE, penalty = max(0, 1 − var(resid−line)/var(resid)), forecast
+    last + damped-slope·s denormalized, gaussian ±z90·σ_resid intervals."""
+    z90 = norm_ppf(0.95)
+    return f"""
+    WITH dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    zed AS (
+      SELECT unique_id, ds, y,
+             row_number() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS t,
+             count(*) OVER (PARTITION BY unique_id) AS n,
+             avg(y) OVER (PARTITION BY unique_id) AS mu,
+             stddev_pop(y) OVER (PARTITION BY unique_id) AS sd,
+             max(ds) OVER (PARTITION BY unique_id) AS last_ds,
+             (y - avg(y) OVER (PARTITION BY unique_id))
+               / stddev_pop(y) OVER (PARTITION BY unique_id) AS z
+      FROM dpanel
+    ),
+    med AS (SELECT unique_id, median(z) AS med FROM zed GROUP BY 1),
+    ols AS (
+      SELECT z.unique_id, max(z.n) AS n, max(z.last_ds) AS last_ds,
+             max(m.med) AS med, max(z.mu) AS mu, max(z.sd) AS sd,
+             sum(z.t) AS xs, sum(z.z - m.med) AS ys,
+             sum(z.t * z.t) AS xx, sum(z.t * (z.z - m.med)) AS xy,
+             avg((z.z - m.med) * (z.z - m.med)) AS mse0,
+             var_pop(z.z - m.med) AS var0
+      FROM zed z JOIN med m USING (unique_id) GROUP BY z.unique_id
+    ),
+    par AS (
+      SELECT *,
+             CASE WHEN n * xx - xs * xs <> 0
+                  THEN (n * xy - xs * ys) / (n * xx - xs * xs)
+                  ELSE 0.0 END AS slope
+      FROM ols
+    ),
+    par2 AS (SELECT *, (ys - slope * xs) / n AS icept FROM par),
+    chk AS (
+      SELECT z.unique_id,
+             avg((z.z - m.med - (p.slope * z.t + p.icept))
+                 * (z.z - m.med - (p.slope * z.t + p.icept))) AS mse1,
+             var_pop(z.z - m.med - (p.slope * z.t + p.icept)) AS var1
+      FROM zed z
+      JOIN med m USING (unique_id)
+      JOIN par2 p USING (unique_id)
+      GROUP BY 1
+    ),
+    fin AS (
+      SELECT p.unique_id, p.n, p.last_ds, p.mu, p.sd, p.med,
+             CASE WHEN p.mse0 > c.mse1 THEN 1 ELSE 0 END AS acc,
+             p.slope, p.icept,
+             CASE WHEN p.mse0 > c.mse1
+                  THEN greatest(0.0, 1.0 - c.var1 /
+                         (CASE WHEN p.var0 = 0 THEN 1.0 ELSE p.var0 END))
+                  ELSE 0.0 END AS pen
+      FROM par2 p JOIN chk c USING (unique_id)
+    ),
+    sig AS (
+      SELECT z.unique_id,
+             sqrt(sum(
+               (z.y - (z.mu + (m.med + CASE WHEN f.acc = 1
+                    THEN f.slope * z.t + f.icept ELSE 0.0 END) * z.sd))
+               * (z.y - (z.mu + (m.med + CASE WHEN f.acc = 1
+                    THEN f.slope * z.t + f.icept ELSE 0.0 END) * z.sd))
+             ) / greatest(max(z.n) - 1, 1)) AS sigma
+      FROM zed z
+      JOIN med m USING (unique_id)
+      JOIN fin f USING (unique_id)
+      GROUP BY 1
+    ),
+    pred AS (
+      SELECT f.unique_id, f.last_ds, s.s, g.sigma,
+             f.mu + (
+               (f.med + CASE WHEN f.acc = 1
+                             THEN f.slope * (f.n - 1) + f.icept
+                             ELSE 0.0 END)
+               + CASE WHEN f.acc = 1
+                      THEN ((f.med + (f.slope * (f.n - 1) + f.icept))
+                            - (f.med + (f.slope * (f.n - 2) + f.icept)))
+                           * f.pen
+                      ELSE 0.0 END * s.s
+             ) * f.sd AS yhat
+      FROM fin f
+      JOIN sig g USING (unique_id),
+           unnest(generate_series(1, {h})) s(s)
+    )
+    SELECT unique_id, last_ds + to_days(s::INT) AS ds,
+           round(yhat, 4) AS mfles_fc,
+           round(yhat - {z90!r} * sigma, 4) AS mfles_lo90,
+           round(yhat + {z90!r} * sigma, 4) AS mfles_hi90
+    FROM pred
+    """
+
+
+def _ces_fixed_sql(a0: float = 1.2, a1: float = 0.9, h: int = 5) -> str:
+    """Recursive-CTE twin of the pinned nonseasonal CES backfit filter
+    (kernels/ces.py _ces_calc): pass 1 forward from (mean(y[:10]),
+    mean/1.1), trailing zero-error step T, pass 2 over reversed y from
+    T(final₁), pass 3 forward from T(final₂), forecast step s = s0 of
+    T^{s-1}(final₃). Update written with the kernel's association:
+    s0' = s0 − (1−α₁)s1 + (α₀−α₁)e, s1' = s0 + (1−α₀)s1 + (α₀+α₁)e."""
+    c1, c2, c3, c4 = 1 - a1, a0 - a1, 1 - a0, a0 + a1
+    step = (f"p.s0 - {c1!r} * p.s1 + {c2!r} * (i.y - p.s0), "
+            f"p.s0 + {c3!r} * p.s1 + {c4!r} * (i.y - p.s0)")
+    return f"""
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM dpanel
+    ),
+    ini AS (
+      SELECT unique_id, avg(y) AS s0i FROM idx
+      WHERE rn <= least(10, n) GROUP BY 1
+    ),
+    nn AS (SELECT unique_id, max(n) AS n, max(last_ds) AS last_ds
+           FROM idx GROUP BY 1),
+    p1(unique_id, k, s0, s1) AS (
+      SELECT unique_id, 0::BIGINT, s0i, s0i / 1.1 FROM ini
+      UNION ALL
+      SELECT p.unique_id, p.k + 1, {step}
+      FROM p1 p JOIN idx i ON i.unique_id = p.unique_id AND i.rn = p.k + 1
+    ),
+    t1 AS (
+      SELECT p.unique_id, p.s0 - {c1!r} * p.s1 AS s0,
+             p.s0 + {c3!r} * p.s1 AS s1
+      FROM p1 p JOIN nn ON nn.unique_id = p.unique_id AND p.k = nn.n
+    ),
+    p2(unique_id, k, s0, s1) AS (
+      SELECT unique_id, 0::BIGINT, s0, s1 FROM t1
+      UNION ALL
+      SELECT p.unique_id, p.k + 1, {step}
+      FROM p2 p JOIN idx i ON i.unique_id = p.unique_id AND i.rn = i.n - p.k
+    ),
+    t2 AS (
+      SELECT p.unique_id, p.s0 - {c1!r} * p.s1 AS s0,
+             p.s0 + {c3!r} * p.s1 AS s1
+      FROM p2 p JOIN nn ON nn.unique_id = p.unique_id AND p.k = nn.n
+    ),
+    p3(unique_id, k, s0, s1) AS (
+      SELECT unique_id, 0::BIGINT, s0, s1 FROM t2
+      UNION ALL
+      SELECT p.unique_id, p.k + 1, {step}
+      FROM p3 p JOIN idx i ON i.unique_id = p.unique_id AND i.rn = p.k + 1
+    ),
+    f3 AS (
+      SELECT p.unique_id, p.s0, p.s1
+      FROM p3 p JOIN nn ON nn.unique_id = p.unique_id AND p.k = nn.n
+    ),
+    fc(unique_id, s, s0, s1) AS (
+      SELECT unique_id, 1, s0, s1 FROM f3
+      UNION ALL
+      SELECT unique_id, s + 1, s0 - {c1!r} * s1, s0 + {c3!r} * s1
+      FROM fc WHERE s < {h}
+    )
+    SELECT fc.unique_id, nn.last_ds + to_days(fc.s::INT) AS ds,
+           round(fc.s0, 4) AS ces_fc
+    FROM fc JOIN nn USING (unique_id)
     """
 
 
@@ -2266,6 +2608,9 @@ def oracle_sql() -> dict[str, str]:
         "arima_fc": _arima_drift_sql(),
         "garch_fixed_fc": _garch_fixed_sql(),
         "simulate_hash": _simulate_hash_sql(),
+        "ces_fixed_fc": _ces_fixed_sql(),
+        "mfles_fixed_fc": _mfles_fixed_sql(),
+        "tbats_fixed_fc": _tbats_fixed_sql(),
         "media_features": """
             WITH b AS (
               SELECT doc_id, length(text)::INT AS n_bytes,

@@ -176,7 +176,8 @@ def _ces_calc(y, st0, m_eff, season, a0, a1, b0, b1, nmse=3, backfit=True):
     return n * np.log(lik) if lik > 0 else -np.inf, e, amse, buf
 
 
-def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600) -> dict | None:
+def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600,
+            fixed: dict | None = None) -> dict | None:
     season = _CODES[season_str]
     m_eff = 1 if season == _N else m
     y = np.asarray(y, dtype=np.float64)
@@ -210,8 +211,27 @@ def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600) -> dict 
         lik, *_ = _ces_calc(y, st0, m_eff, season, a0, a1, b0, b1)
         return lik if np.isfinite(lik) else np.inf
 
-    xb, fb = nelder_mead(objective, np.array(x0), lo, hi,
-                         max_iter=maxiter, tol_std=1e-7)
+    fixed = dict(fixed or {})
+    unknown = set(fixed) - set(names)
+    if unknown:
+        raise ValueError(f"fixed refers to unknown CES parameters "
+                         f"{sorted(unknown)}; valid: {names}")
+    x0 = np.array([fixed.get(nm, v) for nm, v in zip(names, x0)])
+    free = np.array([nm not in fixed for nm in names])
+    if not free.any():
+        # fully pinned: one deterministic backfit filter pass — how the
+        # driver's recursive-CTE SQL oracle drives the recursion
+        xb, fb = x0, objective(x0)
+    else:
+        def objective_free(xf):
+            x = x0.copy()
+            x[free] = xf
+            return objective(x)
+
+        xf, fb = nelder_mead(objective_free, x0[free], lo[free], hi[free],
+                             max_iter=maxiter, tol_std=1e-7)
+        xb = x0.copy()
+        xb[free] = xf
     if not np.isfinite(fb):
         return None
     a0, a1, b0, b1 = params(xb)
@@ -229,7 +249,8 @@ def ces_fit(y: np.ndarray, m: int, season_str: str, maxiter: int = 600) -> dict 
             "seasontype": season_str}
 
 
-def auto_ces(y: np.ndarray, m: int, model: str = "Z") -> dict:
+def auto_ces(y: np.ndarray, m: int, model: str = "Z",
+             fixed: dict | None = None) -> dict:
     """Season-type selection by AICc (reference ces.py:426-491)."""
     y = np.asarray(y, dtype=np.float64)
     if m < 2 or y.size < 2 * m:
@@ -240,7 +261,7 @@ def auto_ces(y: np.ndarray, m: int, model: str = "Z") -> dict:
         candidates = [model]
     best = None
     for s in candidates:
-        fit = ces_fit(y, m, s)
+        fit = ces_fit(y, m, s, fixed=fixed)
         if fit is None or not np.isfinite(fit["aicc"]):
             continue
         if best is None or fit["aicc"] < best["aicc"]:
@@ -258,15 +279,17 @@ class AutoCES(Model):
     tunable = True
 
     def __init__(self, season_length: int = 1, model: str = "Z",
-                 alias: str | None = None):
+                 fixed_params: dict | None = None, alias: str | None = None):
         super().__init__(alias or "CES")
         if model not in ("Z", "N", "S", "P", "F"):
             raise ValueError(f"invalid CES model {model!r}")
         self.m = max(int(season_length), 1)
         self.model = model
+        #: pinned smoothing parameters (alpha_0 / alpha_1 / beta_0 / beta_1)
+        self.fixed_params = dict(fixed_params) if fixed_params else None
 
     def _forecast(self, y, h, fitted):
-        fit = auto_ces(y, self.m, self.model)
+        fit = auto_ces(y, self.m, self.model, fixed=self.fixed_params)
         a0, a1, b0, b1 = fit["params"]
         buf, m_eff, season = fit["states"], fit["m"], fit["season"]
         n = fit["n"]

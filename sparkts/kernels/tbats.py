@@ -153,14 +153,22 @@ def _run_tbats(z, periods, ks, alpha, beta, phi, gammas, l0, b0, s0,
 
 
 def tbats_fit(y, periods, use_boxcox, use_trend, use_damped, lam=0.0,
-              maxiter=400):
+              maxiter=400, fixed=None, harmonics=None):
+    """``harmonics`` pins the per-period harmonic counts (skipping the AIC
+    stepwise); ``fixed`` pins parameters by name (alpha/beta/phi/g1_i/g2_i/
+    l0/b0 — 'default' freezes l0/b0 at their regression seeds). Fully
+    pinned, the fit is one deterministic filter pass (how the driver's
+    recursive-CTE SQL oracle drives the recursion)."""
     y = np.asarray(y, dtype=np.float64)
     n = y.size
     if use_boxcox and y.min() <= 0:
         return None
     z = boxcox(y, lam) if use_boxcox else y.copy()
     periods = [int(m) for m in periods if 1 < m < n]
-    ks = [find_harmonics(z, m) for m in periods]
+    if harmonics is not None:
+        ks = [int(k) for k in harmonics][: len(periods)]
+    else:
+        ks = [find_harmonics(z, m) for m in periods]
     l0h, b0h, s0h = _seasonal_init(z, periods, ks)
     nseas = len(periods)
 
@@ -194,9 +202,29 @@ def tbats_fit(y, periods, use_boxcox, use_trend, use_damped, lam=0.0,
             return np.inf
         return n * np.log(sse)
 
-    xb, fb = nelder_mead(nll, np.array(x0, dtype=np.float64),
-                         np.array(lo), np.array(hi),
-                         max_iter=maxiter, tol_std=1e-7)
+    fixed = dict(fixed or {})
+    unknown = set(fixed) - set(names)
+    if unknown:
+        raise ValueError(f"fixed refers to unknown TBATS parameters "
+                         f"{sorted(unknown)}; valid: {names}")
+    x0 = np.array(x0, dtype=np.float64)
+    for i, nm in enumerate(names):
+        if nm in fixed and fixed[nm] != "default":
+            x0[i] = float(fixed[nm])
+    free = np.array([nm not in fixed for nm in names])
+    if not free.any():
+        xb, fb = x0, nll(x0)
+    else:
+        def nll_free(xf):
+            x = x0.copy()
+            x[free] = xf
+            return nll(x)
+
+        xf, fb = nelder_mead(nll_free, x0[free],
+                             np.array(lo)[free], np.array(hi)[free],
+                             max_iter=maxiter, tol_std=1e-7)
+        xb = x0.copy()
+        xb[free] = xf
     if not np.isfinite(fb):
         return None
     alpha, beta, phi, gammas, l0, b0 = unpack(xb)
@@ -237,6 +265,8 @@ class AutoTBATS(Model):
                  use_boxcox: bool | None = None,
                  use_trend: bool | None = None,
                  use_damped_trend: bool | None = None,
+                 fixed_params: dict | None = None,
+                 harmonics: list[int] | None = None,
                  alias: str | None = None):
         super().__init__(alias or "AutoTBATS")
         self.periods = ([season_length] if np.isscalar(season_length)
@@ -244,6 +274,9 @@ class AutoTBATS(Model):
         self.use_boxcox = use_boxcox
         self.use_trend = use_trend
         self.use_damped = use_damped_trend
+        #: pinned parameters / harmonic counts (see tbats_fit)
+        self.fixed_params = dict(fixed_params) if fixed_params else None
+        self.harmonics = list(harmonics) if harmonics else None
 
     def _variants(self, y):
         bcs = [self.use_boxcox] if self.use_boxcox is not None else (
@@ -262,7 +295,9 @@ class AutoTBATS(Model):
         y = np.asarray(y, dtype=np.float64)
         best = None
         for bc, tr, d in self._variants(y):
-            fit = tbats_fit(y, self.periods, bc, tr, d, lam=0.0)
+            fit = tbats_fit(y, self.periods, bc, tr, d, lam=0.0,
+                            fixed=self.fixed_params,
+                            harmonics=self.harmonics)
             if fit is None or not np.isfinite(fit["aic"]):
                 continue
             if best is None or fit["aic"] < best["aic"]:
