@@ -1047,6 +1047,46 @@ def q_garch_fc(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("GARCH(1,1)", 4).alias("garch_fc"))
 
 
+def q_croston_opt_fc(spark, sf_dir):
+    """CrostonOptimized on sparse per-user error counts (h=1) — BOTH
+    golden-section component optimizations (demand sizes and inter-demand
+    intervals, bounds (0.1, 0.3)) are replayed exactly by the DuckDB
+    oracle via _golden_ses_ctes; uid cap keeps the O(n²·iters) correlated
+    probe subqueries cheap."""
+    from sparkts.kernels import CrostonOptimized
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.where(F.col("event_type") == "error")
+        .where((F.col("user_id") % 97) < 12)
+        .groupBy((F.col("user_id") % 97).alias("unique_id"),
+                 F.date_trunc("day", "ts").alias("ds"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    spine = gap_fill(
+        sparse.withColumnRenamed("ds", "bucket"), ["unique_id"], "bucket",
+        value_cols=[], step_s=86400, zero_cols=["y"],
+    ).select("unique_id", F.col("bucket").alias("ds"), "y")
+    sf = SparkForecast([CrostonOptimized(alias="CrostonOpt")], freq="D")
+    out = sf.forecast(spine, h=1)
+    return out.select("unique_id", "ds",
+                      F.round("CrostonOpt", 6).alias("croston_opt"))
+
+
+def q_ses_opt_fc(spark, sf_dir):
+    """Golden-section-OPTIMIZED SES on the daily tier — the optimizer
+    itself is the verified object: the DuckDB oracle replays the exact
+    golden-section search (kernels/scan.py golden_section_ses: bracket
+    updates, 1e-12 width tolerance, 80-iteration cap) as a recursive CTE
+    whose per-iteration SSE(α) probe is a correlated power-series subquery.
+    Late-iteration branch flips perturb α* below 1e-10 — invisible at 4dp."""
+    sf = SparkForecast(
+        [SimpleExponentialSmoothingOptimized(alias="SESOptD")], freq="D")
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=3)
+    return out.select("unique_id", "ds",
+                      F.round("SESOptD", 4).alias("ses_opt"))
+
+
 def q_tbats_fixed_fc(spark, sf_dir):
     """TBATS with PINNED parameters (α=0.1, γ₁=γ₂=0.05, l0 at its
     regression seed) and one pinned harmonic for m=7, no trend/Box-Cox.
@@ -1189,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intermittent_opt_fc": q_intermittent_opt_fc,
         "smoothing_fc": q_smoothing_fc,
         "smoothing_opt_fc": q_smoothing_opt_fc,
+        "ses_opt_fc": q_ses_opt_fc,
+        "croston_opt_fc": q_croston_opt_fc,
         "theta_fc": q_theta_fc,
         "theta_fixed_fc": q_theta_fixed_fc,
         "cv_multimodel": q_cv_multimodel,
@@ -1721,6 +1763,160 @@ def _ucm_fixed_sql() -> str:
     JOIN fin f USING (unique_id)
     JOIN hq h USING (unique_id),
          unnest(generate_series(1, 6)) t(s)
+    """
+
+
+def _golden_ses_ctes(tag: str, tbl: str, lo: float, up: float) -> str:
+    """CTE fragment (no WITH) replaying golden_section_ses (kernels/scan.py)
+    over ``tbl``(unique_id, rn, n, y): ``rec_{tag}`` carries the bracket
+    state (a, b, c_pt, d_pt, fc, fd) with updates chosen by fc/fd
+    comparison; each iteration evaluates SSE(α) = Σ_{t≥2}(y_t − l_{t−1})²
+    via the SES power-series closed form l_k = c^{k−1}y₁ + Σ α·c^{k−i}·y_i
+    as a correlated subquery. Terminates like the kernel (width < 1e-12,
+    tie, or 80 iterations); ``ln_{tag}`` is the SES level at
+    α* = (a+b)/2. Late-iteration branch flips perturb α* below 1e-10."""
+    g = (5.0 ** 0.5 + 1.0) / 2.0  # == kernels/scan.py _GOLDEN bit-for-bit
+
+    def sse(uid: str, aexpr: str) -> str:
+        # SSE(α) for the series `uid`; `aexpr` repeats — identical floats.
+        # Outer coalesce: an empty error set (n=1) is SSE 0 like np.dot.
+        lvl = f"""(power(1.0 - ({aexpr}), o.rn - 2) *
+                 (SELECT y FROM {tbl} f
+                  WHERE f.unique_id = {uid} AND f.rn = 1)
+               + coalesce((SELECT sum(({aexpr}) *
+                     power(1.0 - ({aexpr}), o.rn - 1 - i2.rn) * i2.y)
+                   FROM {tbl} i2 WHERE i2.unique_id = {uid}
+                     AND i2.rn >= 2 AND i2.rn <= o.rn - 1), 0.0))"""
+        return f"""coalesce((
+          SELECT sum((o.y - {lvl}) * (o.y - {lvl}))
+          FROM {tbl} o WHERE o.unique_id = {uid} AND o.rn >= 2), 0.0)"""
+
+    # CAST: bare numeric literals are DECIMAL in DuckDB; the bracket columns
+    # derive only from these, so without the cast the recursion quantizes
+    lo_s, up_s = f"CAST({lo!r} AS DOUBLE)", f"CAST({up!r} AS DOUBLE)"
+    c0 = f"({up_s} - ({up_s} - {lo_s}) / {g!r})"
+    d0 = f"({lo_s} + ({up_s} - {lo_s}) / {g!r})"
+    # branch expressions (fc < fd keeps [a, d_pt]; fd < fc keeps [c_pt, b])
+    new_cp = f"(r.dp - (r.dp - r.a) / {g!r})"
+    new_dp = f"(r.cp + (r.b - r.cp) / {g!r})"
+    return f"""
+    u_{tag} AS (SELECT DISTINCT unique_id FROM {tbl}),
+    rec_{tag}(unique_id, i, a, b, cp, dp, fc, fd) AS (
+      SELECT u.unique_id, 0, {lo_s}, {up_s}, {c0}, {d0},
+             {sse('u.unique_id', c0)}, {sse('u.unique_id', d0)}
+      FROM u_{tag} u
+      UNION ALL
+      SELECT r.unique_id, r.i + 1,
+             CASE WHEN r.fc < r.fd THEN r.a ELSE r.cp END,
+             CASE WHEN r.fc < r.fd THEN r.dp ELSE r.b END,
+             CASE WHEN r.fc < r.fd THEN {new_cp} ELSE r.dp END,
+             CASE WHEN r.fc < r.fd THEN r.cp ELSE {new_dp} END,
+             CASE WHEN r.fc < r.fd THEN {sse('r.unique_id', new_cp)}
+                  ELSE r.fd END,
+             CASE WHEN r.fc < r.fd THEN r.fc
+                  ELSE {sse('r.unique_id', new_dp)} END
+      FROM rec_{tag} r
+      WHERE r.i < 80 AND abs(r.b - r.a) >= 1e-12
+        AND (r.fc < r.fd OR r.fd < r.fc)
+    ),
+    astar_{tag} AS (
+      SELECT r.unique_id, (r.a + r.b) / 2.0 AS alpha
+      FROM rec_{tag} r
+      JOIN (SELECT unique_id, max(i) AS mi FROM rec_{tag} GROUP BY 1) mx
+        ON mx.unique_id = r.unique_id AND r.i = mx.mi
+    ),
+    ln_{tag} AS (  -- SES level at alpha*, power-series closed form
+      SELECT t.unique_id,
+             sum(CASE WHEN t.rn = 1
+                      THEN power(1.0 - a.alpha, t.n - 1) * t.y
+                      ELSE a.alpha * power(1.0 - a.alpha, t.n - t.rn) * t.y
+                 END) AS ln
+      FROM {tbl} t JOIN astar_{tag} a USING (unique_id)
+      GROUP BY t.unique_id
+    )"""
+
+
+def _ses_opt_sql(lo: float = 0.01, up: float = 0.99, h: int = 3) -> str:
+    """Golden-section-optimized SES on the daily tier (see
+    _golden_ses_ctes for the optimizer replay).
+
+    SET threads: DuckDB 1.0's parallel executor intermittently drops a
+    series from recursive CTEs whose recursive term contains correlated
+    subqueries (observed ~1/10 runs); single-threaded it is deterministic
+    (the whole oracle suite runs < 1 min single-threaded)."""
+    return f"""
+    SET threads TO 1;
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM dpanel
+    ),
+    {_golden_ses_ctes('s', 'idx', lo, up)},
+    lastd AS (SELECT unique_id, max(last_ds) AS last_ds FROM idx GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + to_days(s::INT) AS ds,
+           round(f.ln, 4) AS ses_opt
+    FROM lastd l
+    JOIN ln_s f USING (unique_id),
+         unnest(generate_series(1, {h})) t(s)
+    """
+
+
+def _croston_opt_sql(cap: int = 12) -> str:
+    """CrostonOptimized twin (kernels/intermittent.py): golden-section SES
+    over BOTH component series — demand sizes and inter-demand intervals,
+    bounds (0.1, 0.3) — then forecast = level_d / level_i. SET threads: see
+    _ses_opt_sql (parallel recursive-CTE row-loss in DuckDB 1.0)."""
+    return f"""
+    SET threads TO 1;
+    WITH RECURSIVE sparse AS (
+      SELECT (user_id % 97) AS unique_id, date_trunc('day', ts) AS ds,
+             count(*)::DOUBLE AS y
+      FROM events WHERE event_type = 'error' AND (user_id % 97) < {cap}
+      GROUP BY 1, 2
+    ),
+    sbounds AS (SELECT unique_id, min(ds) lo, max(ds) hi FROM sparse
+                GROUP BY 1),
+    sspine AS (
+      SELECT b.unique_id,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS ds
+      FROM sbounds b
+    ),
+    spanel AS (
+      SELECT s.unique_id, s.ds, coalesce(a.y, 0.0) AS y
+      FROM sspine s LEFT JOIN sparse a
+        ON a.unique_id = s.unique_id AND a.ds = s.ds
+    ),
+    sidx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn
+      FROM spanel
+    ),
+    nz AS (
+      SELECT unique_id, rn, y,
+             row_number() OVER (PARTITION BY unique_id ORDER BY rn) dn,
+             count(*) OVER (PARTITION BY unique_id) nd
+      FROM sidx WHERE y > 0
+    ),
+    dser AS (SELECT unique_id, dn AS rn, nd AS n, y FROM nz),
+    iser AS (
+      SELECT unique_id, dn AS rn, nd AS n,
+             (rn - coalesce(lag(rn) OVER (PARTITION BY unique_id
+                                          ORDER BY dn), 0))::DOUBLE AS y
+      FROM nz
+    ),
+    {_golden_ses_ctes('d', 'dser', 0.1, 0.3)},
+    {_golden_ses_ctes('g', 'iser', 0.1, 0.3)},
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM spanel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + INTERVAL 1 DAY AS ds,
+           round(d.ln / g_.ln, 6) AS croston_opt
+    FROM lastd l
+    JOIN ln_d d USING (unique_id)
+    JOIN ln_g g_ USING (unique_id)
     """
 
 
@@ -2611,6 +2807,8 @@ def oracle_sql() -> dict[str, str]:
         "ces_fixed_fc": _ces_fixed_sql(),
         "mfles_fixed_fc": _mfles_fixed_sql(),
         "tbats_fixed_fc": _tbats_fixed_sql(),
+        "ses_opt_fc": _ses_opt_sql(),
+        "croston_opt_fc": _croston_opt_sql(),
         "media_features": """
             WITH b AS (
               SELECT doc_id, length(text)::INT AS n_bytes,
