@@ -680,6 +680,32 @@ def q_holt_fixed_fc(spark, sf_dir):
                       F.round("HoltFixed", 6).alias("holt_fc"))
 
 
+def q_hw_fixed_fc(spark, sf_dir):
+    """Seasonal HoltWinters — ETS(AAA, m=7) — with PINNED smoothing
+    (α=0.5, β=0.1, γ=0.05) and 'simple' initial states: one deterministic
+    run of the full seasonal recursion. The DuckDB oracle replays the
+    classical-decomposition seasonal init (2×m centered MA, per-phase
+    means, deque ordering, −Σrest renormalized last index), the 10-point
+    OLS level/trend seed, the (l, b, s-deque) recursion as a LIST-state
+    recursive CTE, and the class-1 variance formula for the 90% intervals.
+    Extends holt_fixed_fc's AAN leg to the seasonal path autoets_fc's
+    optimizer hides."""
+    from sparkts.kernels import ETS
+
+    sf = SparkForecast(
+        [ETS(season_length=7, model="AAA", alpha=0.5, beta=0.1, gamma=0.05,
+             initial="simple", alias="HWFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("HWFixed", 4).alias("hw_fc"),
+        F.round("HWFixed-lo-90", 4).alias("hw_lo90"),
+        F.round("HWFixed-hi-90", 4).alias("hw_hi90"),
+    )
+
+
 def q_autoets_fc(spark, sf_dir):
     """AutoETS (state-space exponential smoothing, AICc selection over
     error/trend/season specs) on the daily tier, m=7. Non-SQL-expressible
@@ -1003,6 +1029,26 @@ def q_conformal_fc(spark, sf_dir):
     )
 
 
+def q_csp_hash_intervals(spark, sf_dir):
+    """ConformalSeasonalPool with the md5 HASH sampler — every draw (pool
+    inverse-CDF pick, residual index, mixture flag) is a pure function of
+    (seed, kind, path, step), so DuckDB reproduces the full 40-sample fan
+    and its empirical quantiles exactly (kernels/csp.py csp_sample_paths
+    sampler='hash'). The rng-sampled variant stays in csp_intervals."""
+    sf = SparkForecast(
+        [ConformalSeasonalPool(24, n_samples=40, seed=5, sampler="hash",
+                               alias="CSPHash")],
+        freq="h",
+    )
+    out = sf.forecast(_dense_panel(spark, sf_dir), h=8, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("CSPHash", 4).alias("csp_mean"),
+        F.round("CSPHash-lo-90", 4).alias("csp_lo90"),
+        F.round("CSPHash-hi-90", 4).alias("csp_hi90"),
+    )
+
+
 def q_ucm_fc(spark, sf_dir):
     """Structural state-space LocalLinearTrend via Kalman MLE on the daily
     tier."""
@@ -1235,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_fixed_fc": q_theta_fixed_fc,
         "cv_multimodel": q_cv_multimodel,
         "holt_fixed_fc": q_holt_fixed_fc,
+        "hw_fixed_fc": q_hw_fixed_fc,
         "autoets_fc": q_autoets_fc,
         "mstl_fc": q_mstl_fc,
         "arima_fc": q_arima_fc,
@@ -1247,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simulate_paths": q_simulate_paths,
         "simulate_hash": q_simulate_hash,
         "csp_intervals": q_csp_intervals,
+        "csp_hash_intervals": q_csp_hash_intervals,
         "conformal_fc": q_conformal_fc,
         "ucm_fc": q_ucm_fc,
         "mfles_fc": q_mfles_fc,
@@ -1705,6 +1753,143 @@ def _theta_fixed_sql(alpha: float = 0.5, theta: float = 2.0) -> str:
            , 4) AS theta_fc
     FROM lastd l JOIN st USING (unique_id),
          unnest(generate_series(1, 7)) t(s)
+    """
+
+
+def _hw_fixed_sql(alpha: float = 0.5, beta: float = 0.1, gamma: float = 0.05,
+                  m: int = 7, h: int = 7) -> str:
+    """Recursive-CTE twin of pinned ETS(AAA) with initial='simple'
+    (kernels/ets.py _init_state + _etscalc + _ets_forecast + _sigmah):
+    seasonal indices from the centered 2xm MA classical decomposition
+    (per-phase means, zero-centered, deque order s0[j] = sidx[m-1-j],
+    last index renormalized to -sum(rest) by _unpack), level/trend from
+    OLS on the first 10 deseasonalized points, then the (l, b, s-deque)
+    recursion carried as a LIST column; forecast q_i = l + i*b +
+    s[(m - i%m)%m] with class-1 variance 1 + sum((a + b*j + g*1{j%m==0})^2)."""
+    w_edge, w_mid = 0.5 / m, 1.0 / m
+    bo_a = beta / alpha
+    z90 = norm_ppf(0.95)
+    npars = 1 + 1 + 1 + 1 + 1 + (m - 1) + 1  # nfree + 1 (kernels/ets.py)
+    # one ETS(AAA) state transition consuming i.y from state alias `p`;
+    # q = l + 1.0*b written with the kernel's association
+    q = "(p.l + (1.0 * p.b))"
+    lnew = f"({q} + {alpha!r} * ((i.y - p.s[{m}]) - {q}))"
+    upd = f"""
+             {lnew},
+             (1.0 * p.b) + {bo_a!r} * ({lnew} - {q}),
+             list_prepend(p.s[{m}] + {gamma!r} * ((i.y - {q}) - p.s[{m}]),
+                          p.s[1:{m - 1}]),
+             i.y - ({q} + p.s[{m}])"""
+    rest_sum = "s[1]"
+    for j in range(2, m):
+        rest_sum = f"({rest_sum} + s[{j}])"
+    cj = (f"(({alpha!r} + {beta!r} * j.j) + {gamma!r} * "
+          f"CASE WHEN j.j % {m} = 0 THEN 1.0 ELSE 0.0 END)")
+    sfc = f"f.s[(({m} - (t.i % {m})) % {m}) + 1]"
+    return f"""
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM dpanel
+    ),
+    nn AS (SELECT unique_id, max(n) AS n, max(last_ds) AS last_ds
+           FROM idx GROUP BY 1),
+    ma AS (  -- centered 2xm MA, valid rows rn = 1..n-m
+      SELECT i.unique_id, i.rn AS mi,
+             sum(y2.y * CASE WHEN tap.j IN (0, {m}) THEN {w_edge!r}
+                             ELSE {w_mid!r} END) AS mav
+      FROM idx i, unnest(generate_series(0, {m})) tap(j)
+      JOIN idx y2 ON y2.unique_id = i.unique_id AND y2.rn = i.rn + tap.j
+      WHERE i.rn <= i.n - {m}
+      GROUP BY 1, 2
+    ),
+    resid AS (  -- detrended residual, phase = (m//2 + i0) % m
+      SELECT m_.unique_id, ({m // 2} + m_.mi - 1) % {m} AS ph,
+             d.y - m_.mav AS r
+      FROM ma m_ JOIN idx d
+        ON d.unique_id = m_.unique_id AND d.rn = m_.mi + {m // 2}
+    ),
+    sidx0 AS (SELECT unique_id, ph, avg(r) AS v FROM resid GROUP BY 1, 2),
+    sidx AS (  -- zero-centered seasonal indices
+      SELECT s.unique_id, s.ph, s.v - sm.mv AS v
+      FROM sidx0 s
+      JOIN (SELECT unique_id, avg(v) AS mv FROM sidx0 GROUP BY 1) sm
+        USING (unique_id)
+    ),
+    s0raw AS (  -- deque order: s0[j] = sidx[m-1-j]
+      SELECT unique_id, list(v ORDER BY ph DESC) AS s FROM sidx GROUP BY 1
+    ),
+    s0p AS (  -- _unpack renormalization: last index = -sum(first m-1)
+      SELECT unique_id,
+             list_append(s[1:{m - 1}], -{rest_sum}) AS s
+      FROM s0raw
+    ),
+    lin AS (  -- OLS slope on first k=min(10, n) deseasonalized points
+      SELECT i.unique_id, count(*) AS k,
+             (count(*) * sum(i.rn * (i.y - sx.v))
+                - sum(i.rn) * sum(i.y - sx.v))
+               / (count(*) * sum(i.rn * i.rn) - sum(i.rn) * sum(i.rn))
+               AS b0
+      FROM idx i JOIN sidx sx
+        ON sx.unique_id = i.unique_id AND sx.ph = (i.rn - 1) % {m}
+      WHERE i.rn <= least(10, i.n)
+      GROUP BY i.unique_id
+    ),
+    lin2 AS (
+      SELECT l.unique_id, l.b0,
+             (sum(i.y - sx.v) - l.b0 * sum(i.rn)) / l.k AS l0
+      FROM lin l
+      JOIN idx i ON i.unique_id = l.unique_id AND i.rn <= least(10, i.n)
+      JOIN sidx sx ON sx.unique_id = i.unique_id
+                  AND sx.ph = (i.rn - 1) % {m}
+      GROUP BY l.unique_id, l.b0, l.k
+    ),
+    seeds AS (
+      SELECT l2.unique_id, l2.l0 AS l, l2.b0 AS b, sp.s
+      FROM lin2 l2 JOIN s0p sp USING (unique_id)
+    ),
+    rec(unique_id, rn, l, b, s, e) AS (
+      SELECT p.unique_id, 1::BIGINT, {upd}
+      FROM seeds p
+      JOIN idx i ON i.unique_id = p.unique_id AND i.rn = 1
+      UNION ALL
+      SELECT p.unique_id, p.rn + 1, {upd}
+      FROM rec p JOIN idx i ON i.unique_id = p.unique_id
+                           AND i.rn = p.rn + 1
+    ),
+    fin AS (
+      SELECT r.unique_id, r.l, r.b, r.s
+      FROM rec r JOIN nn ON nn.unique_id = r.unique_id AND r.rn = nn.n
+    ),
+    sig AS (
+      SELECT r.unique_id,
+             sum(r.e * r.e) / greatest(max(nn.n) - {npars} + 1, 1) AS sig2
+      FROM rec r JOIN nn USING (unique_id)
+      GROUP BY 1
+    ),
+    vr AS (  -- class-1 variance growth per step
+      SELECT t.i,
+             1.0 + coalesce((SELECT sum({cj} * {cj})
+               FROM unnest(generate_series(1, t.i - 1)) j(j)), 0.0) AS var
+      FROM unnest(generate_series(1, {h})) t(i)
+    )
+    SELECT f.unique_id, nn.last_ds + to_days(t.i::INT) AS ds,
+           round((f.l + t.i * f.b) + {sfc}, 4) AS hw_fc,
+           round((f.l + t.i * f.b) + {sfc}
+                 - {z90!r} * sqrt(g.sig2 * v.var), 4) AS hw_lo90,
+           round((f.l + t.i * f.b) + {sfc}
+                 + {z90!r} * sqrt(g.sig2 * v.var), 4) AS hw_hi90
+    FROM fin f
+    JOIN nn USING (unique_id)
+    JOIN sig g USING (unique_id),
+         unnest(generate_series(1, {h})) t(i)
+    JOIN vr v ON v.i = t.i
     """
 
 
@@ -2266,6 +2451,123 @@ def _simulate_hash_sql(seed: int = 7, n_paths: int = 4, h: int = 6,
     """
 
 
+def _csp_hash_sql(m: int = 24, h: int = 8, n_samples: int = 40,
+                  seed: int = 5, decay: float = 0.01) -> str:
+    """DuckDB twin of hash-sampled ConformalSeasonalPool (kernels/csp.py):
+    μ = seasonal-naive tile; per (path, step): pool pick = first index of
+    the same-phase history whose exp-decay cumulative weight ≥ u·total,
+    residual pick = R[⌊u·|R|⌋] + μ (R = recent lag-m differences over the
+    calib window), mixture flag = u < w; intervals = quantile_cont over the
+    sample fan. Uniforms are md5(seed|kind|path|step)/2³². total uses
+    max(running cum) so it is float-identical to np.cumsum's last element."""
+    def u(tag: str) -> str:
+        return (f"(('0x' || substr(md5('{seed}|{tag}|' || p.p || '|' || "
+                f"s.j0), 1, 8))::BIGINT / 4294967296.0)")
+
+    return f"""
+    WITH {_PANEL_CTE},
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM panel
+    ),
+    steps AS (
+      SELECT DISTINCT i.unique_id, i.n, i.last_ds, t.j, t.j - 1 AS j0,
+             (i.n + t.j - 1) % {m} AS phase
+      FROM idx i, unnest(generate_series(1, {h})) t(j)
+    ),
+    mu AS (  -- seasonal-naive tile (h <= m so rn = n - m + j0 + 1)
+      SELECT s.unique_id, s.j, iy.y AS mu
+      FROM steps s JOIN idx iy
+        ON iy.unique_id = s.unique_id AND iy.rn = s.n - {m} + s.j0 + 1
+    ),
+    pool AS (
+      SELECT unique_id, (rn - 1) % {m} AS phase, y,
+             row_number() OVER (PARTITION BY unique_id, (rn - 1) % {m}
+                                ORDER BY rn) AS seq,
+             sum(exp(-{decay!r} * (n - rn))) OVER (
+               PARTITION BY unique_id, (rn - 1) % {m} ORDER BY rn
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER (PARTITION BY unique_id, (rn - 1) % {m}) AS k
+      FROM idx
+    ),
+    pool2 AS (
+      SELECT *, max(cum) OVER (PARTITION BY unique_id, phase) AS total
+      FROM pool
+    ),
+    rser AS (  -- calibration pool: lag-m diffs, calib_start = max(m, n-n//2)
+      SELECT i.unique_id,
+             i.rn - greatest({m}, i.n - (i.n // 2)) - 1 AS ridx,
+             i.y - lg.y AS rv
+      FROM idx i JOIN idx lg
+        ON lg.unique_id = i.unique_id AND lg.rn = i.rn - {m}
+      WHERE i.rn > greatest({m}, i.n - (i.n // 2))
+    ),
+    rcount AS (SELECT unique_id, count(*) AS cnt FROM rser GROUP BY 1),
+    grid AS (
+      SELECT s.unique_id, s.j, s.j0, s.phase, p.p,
+             {u('p')} AS up, {u('r')} AS ur, {u('m')} AS um
+      FROM steps s, unnest(generate_series(0, {n_samples - 1})) p(p)
+    ),
+    wgt AS (  -- adaptive variant, m > 1 (kernels/csp.py w logic)
+      SELECT s.unique_id, s.j,
+             CASE WHEN coalesce(pk.k, 0) = 0 THEN 0.0
+                  WHEN coalesce(rc.cnt, 0) = 0 THEN 1.0
+                  WHEN pk.k < 3 THEN CAST(0.3 AS DOUBLE)
+                  ELSE CAST(0.5 AS DOUBLE) END AS w
+      FROM steps s
+      LEFT JOIN (SELECT unique_id, phase, max(k) AS k FROM pool
+                 GROUP BY 1, 2) pk
+        ON pk.unique_id = s.unique_id AND pk.phase = s.phase
+      LEFT JOIN rcount rc ON rc.unique_id = s.unique_id
+    ),
+    picks AS (  -- inverse-CDF: first seq with cum >= u*total (searchsorted)
+      SELECT g.unique_id, g.j, g.p, g.phase, min(p2.seq) AS seq
+      FROM grid g JOIN pool2 p2
+        ON p2.unique_id = g.unique_id AND p2.phase = g.phase
+       AND p2.cum >= g.up * p2.total
+      GROUP BY 1, 2, 3, 4
+    ),
+    pool_draw AS (
+      SELECT pk.unique_id, pk.j, pk.p, pv.y AS pv
+      FROM picks pk JOIN pool2 pv
+        ON pv.unique_id = pk.unique_id AND pv.phase = pk.phase
+       AND pv.seq = pk.seq
+    ),
+    resid_draw AS (
+      SELECT g.unique_id, g.j, g.p, r.rv + m_.mu AS rv
+      FROM grid g
+      JOIN rcount rc USING (unique_id)
+      JOIN rser r ON r.unique_id = g.unique_id
+        AND r.ridx = least(floor(g.ur * rc.cnt)::BIGINT, rc.cnt - 1)
+      JOIN mu m_ ON m_.unique_id = g.unique_id AND m_.j = g.j
+    ),
+    samples AS (
+      SELECT g.unique_id, g.j, g.p,
+             CASE WHEN g.um < w.w THEN pd.pv ELSE rd.rv END AS v
+      FROM grid g
+      JOIN wgt w ON w.unique_id = g.unique_id AND w.j = g.j
+      JOIN pool_draw pd ON pd.unique_id = g.unique_id AND pd.j = g.j
+                       AND pd.p = g.p
+      JOIN resid_draw rd ON rd.unique_id = g.unique_id AND rd.j = g.j
+                        AND rd.p = g.p
+    ),
+    qs AS (
+      SELECT unique_id, j, quantile_cont(v, 0.05) AS lo,
+             quantile_cont(v, 0.95) AS hi
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT m_.unique_id, s.last_ds + to_hours(s.j::INT) AS ds,
+           round(m_.mu, 4) AS csp_mean,
+           round(q.lo, 4) AS csp_lo90,
+           round(q.hi, 4) AS csp_hi90
+    FROM steps s
+    JOIN mu m_ ON m_.unique_id = s.unique_id AND m_.j = s.j
+    JOIN qs q ON q.unique_id = s.unique_id AND q.j = s.j
+    """
+
+
 def _garch_fixed_sql(w: float = 0.1, a: float = 0.1, b: float = 0.8,
                      h: int = 6) -> str:
     """Recursive-CTE twin of the pinned-coefficient GARCH(1,1) filter +
@@ -2799,10 +3101,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "holt_fixed_fc": _holt_fixed_sql(),
         "ucm_fixed_fc": _ucm_fixed_sql(),
+        "hw_fixed_fc": _hw_fixed_sql(),
         "theta_fixed_fc": _theta_fixed_sql(),
         "smoothing_fc": _smoothing_sql(),
         "arima_fc": _arima_drift_sql(),
         "garch_fixed_fc": _garch_fixed_sql(),
+        "csp_hash_intervals": _csp_hash_sql(),
         "simulate_hash": _simulate_hash_sql(),
         "ces_fixed_fc": _ces_fixed_sql(),
         "mfles_fixed_fc": _mfles_fixed_sql(),

@@ -29,7 +29,23 @@ from sparkts.kernels.base import Model
 from sparkts.kernels.basic import SeasonalNaive
 
 
-def csp_sample_paths(y, h, m, n_samples, variant, calib_frac, decay, rng, mu):
+def _hash_uniform(seed: int, tag: str, p: int, j: int) -> float:
+    """Deterministic uniform in [0,1) from md5(seed|tag|p|j) — the same
+    convention as the engine's hash-bootstrap simulate, so an external SQL
+    engine reproduces every draw."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}|{tag}|{p}|{j}".encode()).hexdigest()[:8],
+               16) / 4294967296.0
+
+
+def csp_sample_paths(y, h, m, n_samples, variant, calib_frac, decay, rng, mu,
+                     sampler="rng", seed=0):
+    """``sampler='hash'`` replaces the rng draws with md5-derived ones:
+    pool pick = inverse-CDF of the exp-decay weights at u, residual pick =
+    ⌊u·|R|⌋, mixture flag = (u < w) — each u a pure function of
+    (seed, draw-kind, path, step), so the whole sampling is SQL-replayable
+    (driver query csp_hash_intervals)."""
     n = y.size
     t_cal = int(np.floor(calib_frac * n))
     calib_start = max(m, n - t_cal)
@@ -57,14 +73,38 @@ def csp_sample_paths(y, h, m, n_samples, variant, calib_frac, decay, rng, mu):
             w = 0.0
         elif R.size == 0:
             w = 1.0
-        if k > 0:
-            ages = (n - 1) - pool_idx
-            raw = np.exp(-decay * ages)
-            pool_draws = rng.choice(pool_vals, size=n_samples, p=raw / raw.sum())
+        if sampler == "hash":
+            if k > 0:
+                ages = (n - 1) - pool_idx
+                raw = np.exp(-decay * ages)
+                cum = np.cumsum(raw)
+                u = np.array([_hash_uniform(seed, "p", p, j)
+                              for p in range(n_samples)])
+                pick = np.searchsorted(cum, u * cum[-1], side="left")
+                pool_draws = pool_vals[np.minimum(pick, k - 1)]
+            else:
+                pool_draws = np.empty(n_samples)
+            if R.size:
+                u = np.array([_hash_uniform(seed, "r", p, j)
+                              for p in range(n_samples)])
+                ridx = np.minimum((u * R.size).astype(np.int64), R.size - 1)
+                resid_draws = R[ridx] + mu[j]
+            else:
+                resid_draws = pool_draws
+            um = np.array([_hash_uniform(seed, "m", p, j)
+                           for p in range(n_samples)])
+            use_pool = um < w
         else:
-            pool_draws = np.empty(n_samples)
-        resid_draws = (rng.choice(R, size=n_samples) + mu[j]) if R.size else pool_draws
-        use_pool = rng.random(n_samples) < w
+            if k > 0:
+                ages = (n - 1) - pool_idx
+                raw = np.exp(-decay * ages)
+                pool_draws = rng.choice(pool_vals, size=n_samples,
+                                        p=raw / raw.sum())
+            else:
+                pool_draws = np.empty(n_samples)
+            resid_draws = ((rng.choice(R, size=n_samples) + mu[j])
+                           if R.size else pool_draws)
+            use_pool = rng.random(n_samples) < w
         samples[:, j] = np.where(use_pool, pool_draws, resid_draws)
     return mu, samples
 
@@ -76,16 +116,19 @@ class ConformalSeasonalPool(Model):
     def __init__(self, season_length: int, n_samples: int = 100,
                  variant: str = "adaptive", calib_frac: float = 0.5,
                  decay: float = 0.01, seed: int = 1,
-                 alias: str | None = None):
+                 sampler: str = "rng", alias: str | None = None):
         super().__init__(alias or "ConformalSeasonalPool")
         if variant not in ("adaptive", "fixed"):
             raise ValueError("variant must be 'adaptive' or 'fixed'")
+        if sampler not in ("rng", "hash"):
+            raise ValueError("sampler must be 'rng' or 'hash'")
         self.m = max(int(season_length), 1)
         self.n_samples = n_samples
         self.variant = variant
         self.calib_frac = calib_frac
         self.decay = decay
         self.seed = seed
+        self.sampler = sampler
 
     def forecast(self, y, h, level=None, fitted=False, X=None, X_future=None):
         y = np.asarray(y, dtype=np.float64)
@@ -99,7 +142,8 @@ class ConformalSeasonalPool(Model):
             rng = np.random.default_rng(self.seed)
             mu, samples = csp_sample_paths(
                 y, h, self.m, self.n_samples, self.variant,
-                self.calib_frac, self.decay, rng, mu)
+                self.calib_frac, self.decay, rng, mu,
+                sampler=self.sampler, seed=self.seed)
             res["mean"] = mu
             for lv in sorted(level):
                 res[f"lo-{lv}"] = np.quantile(samples, (100 - lv) / 200.0, axis=0)

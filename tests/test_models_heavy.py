@@ -317,6 +317,20 @@ class TestCSP:
         s = ConformalSeasonalPool(12).simulate(AP, 4, n_paths=30, seed=1)
         assert s.shape == (30, 4)
 
+    def test_hash_sampler_deterministic_and_in_support(self):
+        from sparkts.kernels import ConformalSeasonalPool
+
+        m = ConformalSeasonalPool(12, n_samples=50, seed=9, sampler="hash")
+        r1 = m.forecast(AP, 6, level=[90])
+        r2 = m.forecast(AP, 6, level=[90])
+        np.testing.assert_array_equal(r1["lo-90"], r2["lo-90"])
+        assert np.all(r1["lo-90"] <= r1["hi-90"])
+        # every hash draw is either a same-phase historical value or a
+        # recentered calibration residual — both finite
+        assert np.all(np.isfinite(r1["lo-90"]))
+        with pytest.raises(ValueError):
+            ConformalSeasonalPool(12, sampler="bogus")
+
 
 class TestUCM:
     def test_local_level_flat(self):
