@@ -749,6 +749,57 @@ def q_arima_css_fc(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("ARIMA", 4).alias("arima_fc"))
 
 
+def q_ndiffs(spark, sf_dir):
+    """AutoARIMA's differencing-order selection (KPSS ndiffs,
+    kernels/arima.py kpss_stat/ndiffs) exposed per series — the DuckDB
+    oracle recomputes the KPSS statistic (partial-sum numerator, Bartlett
+    long-run variance with lags = ⌊3√n/13⌋) at d = 0 and 1 and applies the
+    same 0.463 critical-value ladder. Verifies the stationarity gate every
+    AutoARIMA fit passes through."""
+    import pandas as pd
+
+    from sparkts.kernels.arima import kpss_stat, ndiffs
+
+    panel = _daily_panel(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ds")
+        y = pdf["y"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "unique_id": [pdf["unique_id"].iloc[0]],
+            "d": [int(ndiffs(y))],
+            "kpss0": [round(float(kpss_stat(y)), 6)],
+        })
+
+    return (
+        panel.repartition(32, "unique_id")
+        .groupBy("unique_id")
+        .applyInPandas(kernel, "unique_id string, d int, kpss0 double")
+    )
+
+
+def q_arma_fixed_fc(spark, sf_dir):
+    """ARMA(1,1) with PINNED coefficients (φ=0.6, θ=0.3; mean pinned to
+    mean(z) by the all-fixed CSS path) and method='css' — the conditional
+    residual recursion e_t = zc_t − φ·zc_{t−1} − θ·e_{t−1}, the h-step
+    forecast recursion, and the ψ-weight interval growth are all one
+    deterministic pass, so a DuckDB RECURSIVE CTE value-checks the ARMA
+    filter machinery beyond arima_fc's (0,1,0)+drift closed form. The
+    optimizer + Kalman paths stay in arima_css_fc."""
+    sf = SparkForecast(
+        [ARIMA(order=(1, 0, 1), fixed={"ar1": 0.6, "ma1": 0.3},
+               method="css", alias="ARMAFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=6, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("ARMAFixed", 4).alias("arma_fc"),
+        F.round("ARMAFixed-lo-90", 4).alias("arma_lo90"),
+        F.round("ARMAFixed-hi-90", 4).alias("arma_hi90"),
+    )
+
+
 def q_ces_fc(spark, sf_dir):
     """AutoCES (complex exponential smoothing, N/S/P/F season selection by
     AICc) on the daily tier, m=7."""
@@ -1286,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mstl_fc": q_mstl_fc,
         "arima_fc": q_arima_fc,
         "arima_css_fc": q_arima_css_fc,
+        "arma_fixed_fc": q_arma_fixed_fc,
+        "ndiffs": q_ndiffs,
         "ucm_fixed_fc": q_ucm_fixed_fc,
         "garch_fc": q_garch_fc,
         "garch_fixed_fc": q_garch_fixed_fc,
@@ -2451,6 +2504,158 @@ def _simulate_hash_sql(seed: int = 7, n_paths: int = 4, h: int = 6,
     """
 
 
+def _kpss_ctes(tag: str, tbl: str) -> str:
+    """CTE fragment computing the KPSS level statistic over
+    ``tbl``(unique_id, rn, v) → {tag}_stat(unique_id, n, stat)
+    (kernels/arima.py kpss_stat: partial-sum numerator, Bartlett long-run
+    variance with lags = ⌊3√n/13⌋)."""
+    return f"""
+    {tag}_e AS (
+      SELECT unique_id, rn,
+             v - avg(v) OVER (PARTITION BY unique_id) AS e,
+             count(*) OVER (PARTITION BY unique_id) AS n
+      FROM {tbl}
+    ),
+    {tag}_s AS (
+      SELECT *, sum(e) OVER (PARTITION BY unique_id ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING) AS cs
+      FROM {tag}_e
+    ),
+    {tag}_k AS (
+      SELECT unique_id, max(n) AS n,
+             floor(3 * sqrt(max(n)) / 13)::INT AS lags,
+             sum(e * e) / max(n) AS g0,
+             sum(cs * cs) AS ssq
+      FROM {tag}_s GROUP BY 1
+    ),
+    {tag}_ac AS (  -- Bartlett-weighted autocovariance terms k = 1..lags
+      SELECT a.unique_id, k.k,
+             2.0 * (1.0 - k.k / (max(kk.lags) + 1.0))
+                 * sum(a.e * b.e) / max(a.n) AS term
+      FROM {tag}_s a
+      JOIN {tag}_k kk ON kk.unique_id = a.unique_id
+      JOIN (SELECT unnest(generate_series(1, 16)) AS k) k ON k.k <= kk.lags
+      JOIN {tag}_s b ON b.unique_id = a.unique_id AND b.rn = a.rn - k.k
+      GROUP BY a.unique_id, k.k
+    ),
+    {tag}_stat AS (
+      SELECT kk.unique_id, kk.n,
+             kk.ssq / (kk.n * kk.n * (kk.g0 + coalesce(
+               (SELECT sum(ac.term) FROM {tag}_ac ac
+                WHERE ac.unique_id = kk.unique_id), 0.0))) AS stat
+      FROM {tag}_k kk
+    )"""
+
+
+def _ndiffs_sql(crit: float = 0.463) -> str:
+    """DuckDB twin of ndiffs (kernels/arima.py): KPSS ladder at d = 0 and
+    d = 1 with the 5% critical value 0.463, max_d = 2."""
+    return f"""
+    WITH dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lvl0 AS (
+      SELECT unique_id, row_number() OVER (PARTITION BY unique_id
+                                           ORDER BY ds) AS rn, y AS v
+      FROM dpanel
+    ),
+    lvl1 AS (  -- first difference
+      SELECT unique_id, rn - 1 AS rn,
+             v - lag(v) OVER (PARTITION BY unique_id ORDER BY rn) AS v
+      FROM lvl0 QUALIFY rn >= 2
+    ),
+    {_kpss_ctes('k0', 'lvl0')},
+    {_kpss_ctes('k1', 'lvl1')}
+    SELECT s0.unique_id,
+           CASE WHEN s0.n < 10 OR s0.stat <= {crit!r} THEN 0
+                WHEN s1.n < 10 OR s1.stat <= {crit!r} THEN 1
+                ELSE 2 END AS d,
+           round(s0.stat, 6) AS kpss0
+    FROM k0_stat s0 JOIN k1_stat s1 USING (unique_id)
+    """
+
+
+def _arma_fixed_sql(phi: float = 0.6, theta: float = 0.3, h: int = 6) -> str:
+    """Recursive-CTE twin of the pinned ARMA(1,1) CSS path
+    (kernels/arima.py _css_resid + arima_forecast + _psi_weights):
+    zc = y − mean, a_t = zc_t − φ·zc_{t−1}, e₂ = a₂, e_t = a_t − θ·e_{t−1};
+    σ² = Σe²/(n−1); forecast₁ = (μ·ar(1) − ar₁·y_n) + θ·e_n then
+    AR-only rollout; se_s = √(σ²·Σ_{j<s}ψ_j²) with ψ₁ = θ + φ,
+    ψ_j = φ·ψ_{j−1}."""
+    arf1 = -phi                 # ar_full[1]
+    csum = 1.0 + (-phi)         # ar(1) = sum of the AR polynomial
+    z90 = norm_ppf(0.95)
+    psi1 = f"({theta!r} + {phi!r} * psi)"
+    return f"""
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM dpanel
+    ),
+    mu AS (
+      SELECT unique_id, avg(y) AS mu, max(n) AS n, max(last_ds) AS last_ds
+      FROM idx GROUP BY 1
+    ),
+    aa AS (  -- AR side of the conditional recursion, rows rn >= 2
+      SELECT i.unique_id, i.rn,
+             (i.y - m.mu) + {arf1!r} * (lg.y - m.mu) AS a
+      FROM idx i
+      JOIN idx lg ON lg.unique_id = i.unique_id AND lg.rn = i.rn - 1
+      JOIN mu m ON m.unique_id = i.unique_id
+    ),
+    er(unique_id, rn, e) AS (
+      SELECT unique_id, 2::BIGINT, a - {theta!r} * 0.0 FROM aa WHERE rn = 2
+      UNION ALL
+      SELECT er.unique_id, er.rn + 1, a2.a - {theta!r} * er.e
+      FROM er JOIN aa a2 ON a2.unique_id = er.unique_id
+                        AND a2.rn = er.rn + 1
+    ),
+    sig AS (SELECT unique_id, sum(e * e) / count(*) AS sigma2 FROM er
+            GROUP BY 1),
+    fin AS (
+      SELECT er.unique_id, er.e AS en
+      FROM er JOIN mu ON mu.unique_id = er.unique_id AND er.rn = mu.n
+    ),
+    fc(unique_id, s, v) AS (
+      SELECT m.unique_id, 1,
+             (m.mu * {csum!r} - {arf1!r} * yl.y) + {theta!r} * f.en
+      FROM mu m
+      JOIN idx yl ON yl.unique_id = m.unique_id AND yl.rn = m.n
+      JOIN fin f ON f.unique_id = m.unique_id
+      UNION ALL
+      SELECT fc.unique_id, fc.s + 1,
+             (m.mu * {csum!r} - {arf1!r} * fc.v) + {theta!r} * 0.0
+      FROM fc JOIN mu m USING (unique_id)
+      WHERE fc.s < {h}
+    ),
+    ps(s, psi, cum) AS (  -- psi-weight cumulative variance, row s = step s
+      SELECT 1, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+      UNION ALL
+      SELECT s + 1,
+             CASE WHEN s = 1 THEN {psi1} ELSE {phi!r} * psi END,
+             cum + (CASE WHEN s = 1 THEN {psi1} ELSE {phi!r} * psi END)
+                 * (CASE WHEN s = 1 THEN {psi1} ELSE {phi!r} * psi END)
+      FROM ps WHERE s < {h}
+    )
+    SELECT fc.unique_id, m.last_ds + to_days(fc.s::INT) AS ds,
+           round(fc.v, 4) AS arma_fc,
+           round(fc.v - {z90!r} * sqrt(g.sigma2 * p.cum), 4) AS arma_lo90,
+           round(fc.v + {z90!r} * sqrt(g.sigma2 * p.cum), 4) AS arma_hi90
+    FROM fc
+    JOIN mu m USING (unique_id)
+    JOIN sig g USING (unique_id)
+    JOIN ps p ON p.s = fc.s
+    """
+
+
 def _csp_hash_sql(m: int = 24, h: int = 8, n_samples: int = 40,
                   seed: int = 5, decay: float = 0.01) -> str:
     """DuckDB twin of hash-sampled ConformalSeasonalPool (kernels/csp.py):
@@ -3102,6 +3307,8 @@ def oracle_sql() -> dict[str, str]:
         "holt_fixed_fc": _holt_fixed_sql(),
         "ucm_fixed_fc": _ucm_fixed_sql(),
         "hw_fixed_fc": _hw_fixed_sql(),
+        "arma_fixed_fc": _arma_fixed_sql(),
+        "ndiffs": _ndiffs_sql(),
         "theta_fixed_fc": _theta_fixed_sql(),
         "smoothing_fc": _smoothing_sql(),
         "arima_fc": _arima_drift_sql(),
