@@ -1036,6 +1036,50 @@ def q_ols_exog(spark, sf_dir):
     )
 
 
+def q_conformal_exog(spark, sf_dir):
+    """Conformal intervals on an EXOG model (LinearRegression +
+    conformal_error): calibration refits the OLS on each window prefix and
+    scores against the next in-sample regressor rows (kernels/base.py
+    _conformal_scores slices X with y), then the final fit predicts at the
+    future grid. DuckDB recomputes the per-window prefix fits via
+    regr_slope/regr_intercept and the score quantiles — verifying the
+    exog × conformal interaction end to end."""
+    from sparkts.kernels import ConformalIntervals, LinearRegression
+
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"],
+                       "value", "1h")
+    panel = tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+        F.col("n_rows").cast("double").alias("x"),
+    )
+    ids = (_t(spark, sf_dir, "events")
+           .select(F.col("event_type").alias("unique_id")).distinct())
+    X_df = ids.crossJoin(
+        spark.range(1, 4).select(
+            F.col("id").cast("int").alias("step"),
+            (F.col("id") * 10.0).alias("x"),
+        )
+    ).select("unique_id", F.col("step").alias("ds"), "x")
+    model = LinearRegression(
+        alias="OLSConf",
+        prediction_intervals=ConformalIntervals(
+            n_windows=4, h=3, method="conformal_error"),
+    )
+    sf = SparkForecast([model], freq=1)
+    out = sf.forecast(panel.withColumn("ds", F.col("ds").cast("long")),
+                      h=3, X_df=X_df.withColumn("ds", F.col("ds").cast("long")),
+                      level=[80])
+    return out.select(
+        "unique_id",
+        F.col("ds").cast("int").alias("step"),
+        F.round("OLSConf", 4).alias("ols_pred"),
+        F.round("OLSConf-lo-80", 4).alias("ols_lo80"),
+        F.round("OLSConf-hi-80", 4).alias("ols_hi80"),
+    )
+
+
 def q_csp_intervals(spark, sf_dir):
     """ConformalSeasonalPool: seasonal-naive mean + pooled-conformal sample
     quantile intervals, seeded (partition-independent)."""
@@ -1349,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csp_intervals": q_csp_intervals,
         "csp_hash_intervals": q_csp_hash_intervals,
         "conformal_fc": q_conformal_fc,
+        "conformal_exog": q_conformal_exog,
         "ucm_fc": q_ucm_fc,
         "mfles_fc": q_mfles_fc,
         "mfles_fixed_fc": q_mfles_fixed_fc,
@@ -3189,6 +3234,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT unique_id, step, round(b0 + b1 * (step * 10.0), 4) AS ols_pred
             FROM fits CROSS JOIN (SELECT unnest([1, 2, 3]) AS step)
+        """,
+        "conformal_exog": """
+            WITH tier AS (
+              SELECT event_type AS unique_id, date_trunc('hour', ts) AS bucket,
+                     round(sum(value), 4) AS v, count(value)::DOUBLE AS x
+              FROM events GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT *, row_number() OVER (PARTITION BY unique_id
+                                           ORDER BY bucket) rn,
+                     count(*) OVER (PARTITION BY unique_id) n
+              FROM tier
+            ),
+            cuts AS (
+              SELECT DISTINCT unique_id, n, t.w, n - (4 - t.w) * 3 AS cut
+              FROM idx, unnest(generate_series(0, 3)) t(w)
+            ),
+            wfits AS (  -- per-window prefix OLS refit
+              SELECT c.unique_id, c.w, c.cut,
+                     regr_intercept(i.v, i.x) AS b0, regr_slope(i.v, i.x) AS b1
+              FROM cuts c JOIN idx i
+                ON i.unique_id = c.unique_id AND i.rn <= c.cut
+              GROUP BY 1, 2, 3
+            ),
+            scores AS (  -- |prefix-fit prediction - actual| on the next 3
+              SELECT w_.unique_id, w_.w, t.s,
+                     abs((w_.b0 + w_.b1 * iy.x) - iy.v) AS sc
+              FROM wfits w_, unnest(generate_series(1, 3)) t(s)
+              JOIN idx iy ON iy.unique_id = w_.unique_id
+                         AND iy.rn = w_.cut + t.s
+            ),
+            qs AS (SELECT unique_id, s, quantile_cont(sc, 0.80) AS q
+                   FROM scores GROUP BY 1, 2),
+            fits AS (SELECT unique_id, regr_intercept(v, x) AS b0,
+                            regr_slope(v, x) AS b1
+                     FROM idx GROUP BY 1)
+            SELECT f.unique_id, q.s AS step,
+                   round(f.b0 + f.b1 * (q.s * 10.0), 4) AS ols_pred,
+                   round((f.b0 + f.b1 * (q.s * 10.0)) - q.q, 4) AS ols_lo80,
+                   round((f.b0 + f.b1 * (q.s * 10.0)) + q.q, 4) AS ols_hi80
+            FROM fits f JOIN qs q USING (unique_id)
         """,
         "fingerprint_md5": r"""
             SELECT doc_id,

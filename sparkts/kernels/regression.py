@@ -22,8 +22,10 @@ class LinearRegression(Model):
     uses_exog = True
     tunable = True
 
-    def __init__(self, fit_intercept: bool = True, alias: str | None = None):
-        super().__init__(alias or "LinearRegression")
+    def __init__(self, fit_intercept: bool = True, alias: str | None = None,
+                 prediction_intervals=None):
+        super().__init__(alias or "LinearRegression",
+                         prediction_intervals=prediction_intervals)
         self.fit_intercept = fit_intercept
 
     # -- forward contract: refit=False re-applies the stored beta ---------
