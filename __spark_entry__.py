@@ -2119,6 +2119,89 @@ def _golden_ses_ctes(tag: str, tbl: str, lo: float, up: float) -> str:
     )"""
 
 
+def _intermittent_opt_sql() -> str:
+    """ADIDA/IMAPA twin (kernels/intermittent.py + scan.chunk_forecast):
+    agg level K = banker's-round(mean inter-demand interval); per agg ≤ K,
+    drop the leading n % agg rows, chunk-sum, golden-section-optimized SES
+    (bounds 0.1–0.3) on the chunk series — replayed by _golden_ses_ctes
+    over composite (uid·16 + agg) keys; ADIDA = f(K)/K, IMAPA = mean of
+    f(agg)/agg. SET threads: see _ses_opt_sql."""
+    return f"""
+    SET threads TO 1;
+    WITH RECURSIVE sparse AS (
+      SELECT (user_id % 97) AS unique_id, date_trunc('day', ts) AS ds,
+             count(*)::DOUBLE AS y
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    sbounds AS (SELECT unique_id, min(ds) lo, max(ds) hi FROM sparse
+                GROUP BY 1),
+    sspine AS (
+      SELECT b.unique_id,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS ds
+      FROM sbounds b
+    ),
+    spanel AS (
+      SELECT s.unique_id, s.ds, coalesce(a.y, 0.0) AS y
+      FROM sspine s LEFT JOIN sparse a
+        ON a.unique_id = s.unique_id AND a.ds = s.ds
+    ),
+    sidx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n
+      FROM spanel
+    ),
+    nz AS (
+      SELECT unique_id, rn,
+             row_number() OVER (PARTITION BY unique_id ORDER BY rn) dn
+      FROM sidx WHERE y > 0
+    ),
+    ivals AS (
+      SELECT unique_id,
+             (rn - coalesce(lag(rn) OVER (PARTITION BY unique_id
+                                          ORDER BY dn), 0))::DOUBLE AS iv
+      FROM nz
+    ),
+    kk AS (  -- python round() is banker's → round_even
+      SELECT unique_id, greatest(round_even(avg(iv), 0), 1)::INT AS k
+      FROM ivals GROUP BY 1
+    ),
+    aggs AS (
+      SELECT k.unique_id, a.agg, k.k
+      FROM kk k
+      JOIN (SELECT unnest(generate_series(1, 8)) AS agg) a ON a.agg <= k.k
+    ),
+    ch AS (  -- end-aligned chunk sums per (uid, agg), composite key
+      SELECT (g.unique_id * 16 + g.agg) AS unique_id,
+             ((i.rn - (i.n % g.agg) - 1) // g.agg) + 1 AS rn,
+             sum(i.y) AS y
+      FROM aggs g JOIN sidx i
+        ON i.unique_id = g.unique_id AND i.rn > (i.n % g.agg)
+      GROUP BY g.unique_id, g.agg,
+               ((i.rn - (i.n % g.agg) - 1) // g.agg)
+    ),
+    ch2 AS (
+      SELECT unique_id, rn,
+             count(*) OVER (PARTITION BY unique_id) AS n, y
+      FROM ch
+    ),
+    {_golden_ses_ctes('t', 'ch2', 0.1, 0.3)},
+    per_agg AS (
+      SELECT unique_id // 16 AS uid, unique_id % 16 AS agg, ln FROM ln_t
+    ),
+    imapa AS (SELECT uid, avg(ln / agg) AS v FROM per_agg GROUP BY 1),
+    adida AS (
+      SELECT p.uid, p.ln / p.agg AS v
+      FROM per_agg p JOIN kk ON kk.unique_id = p.uid AND p.agg = kk.k
+    ),
+    lastd AS (SELECT unique_id, max(ds) AS last_ds FROM spanel GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + INTERVAL 1 DAY AS ds,
+           round(a.v, 6) AS adida, round(i.v, 6) AS imapa
+    FROM lastd l
+    JOIN adida a ON a.uid = l.unique_id
+    JOIN imapa i ON i.uid = l.unique_id
+    """
+
+
 def _ses_opt_sql(lo: float = 0.01, up: float = 0.99, h: int = 3) -> str:
     """Golden-section-optimized SES on the daily tier (see
     _golden_ses_ctes for the optimizer replay).
@@ -3321,6 +3404,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
         """,
         "intermittent_fc": _intermittent_sql(),
+        "intermittent_opt_fc": _intermittent_opt_sql(),
         "conformal_fc": f"""
             WITH {_PANEL_CTE},
             idx AS (

@@ -64,13 +64,50 @@ def _diff_poly(d: int, D: int, m: int) -> np.ndarray:
     return p
 
 
-def _roots_ok(poly: np.ndarray) -> bool:
-    """All roots of 1 + c1 B + ... strictly outside the unit circle."""
+def _roots_ok(poly: np.ndarray, thresh: float = 1.001) -> bool:
+    """All roots of 1 + c1 B + ... strictly outside |B| = thresh.
+
+    Degree ≤ 2 uses the closed-form quadratic (this check sits inside every
+    CSS objective evaluation — tens of thousands of calls per AutoARIMA —
+    and np.roots' companion-eigenvalue path dominated the profile)."""
     c = np.trim_zeros(poly, "b")
     if c.size <= 1:
         return True
-    r = np.roots(c[::-1])
-    return bool(np.all(np.abs(r) > 1.001))
+    if c.size == 2:  # 1 + c1·B → root −1/c1
+        return bool(abs(c[1]) * thresh < 1.0)
+    if c.size == 3:  # 1 + c1·B + c2·B²
+        c1, c2 = float(c[1]), float(c[2])
+        disc = complex(c1 * c1 - 4.0 * c2) ** 0.5
+        r1 = (-c1 + disc) / (2.0 * c2)
+        r2 = (-c1 - disc) / (2.0 * c2)
+        return bool(abs(r1) > thresh and abs(r2) > thresh)
+    # degree ≥ 3: Durbin step-down (PACF) stationarity test — all roots of
+    # 1 − Σφ_k B^k outside the unit circle ⟺ every reflection coefficient
+    # |r_k| < 1. O(d²) scalar work, no companion eigendecomposition.
+    # Scaling c_k ← c_k·thresh^k maps "outside |B| = thresh" to "outside
+    # the unit circle".
+    d = c.size - 1
+    a = np.array([-c[k] * thresh**k for k in range(1, d + 1)])
+    for k in range(d, 0, -1):
+        r = a[k - 1]
+        if not np.isfinite(r) or abs(r) >= 1.0:
+            return False
+        if k > 1:
+            a = (a[: k - 1] + r * a[k - 2 :: -1]) / (1.0 - r * r)
+    return True
+
+
+def _factors_ok(parts, m: int) -> bool:
+    """Stationarity/invertibility of the MULTIPLICATIVE polynomials via
+    their factors: roots of ar(B)·AR(B^m) are the union of the factor
+    roots, and |B| > 1.001 for a B^m root ⟺ |x| > 1.001^m for the
+    corresponding root x of the seasonal factor — so factor-wise checks
+    (on degree ≤ 2 polys, closed form) are exactly equivalent to checking
+    the expanded product like the previous np.roots path did."""
+    phi, theta, Phi, Theta = parts
+    ts = 1.001 ** m
+    return (_roots_ok(_ar_poly(phi)) and _roots_ok(_ma_poly(theta))
+            and _roots_ok(_ar_poly(Phi), ts) and _roots_ok(_ma_poly(Theta), ts))
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +143,26 @@ def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
     mac = ma[1:]
     nz = np.flatnonzero(mac)
     coefs = [(int(j) + 1, float(mac[j])) for j in nz]
+    if len(coefs) == 1:
+        lag, c = coefs[0]
+        if lag == 1:
+            # hoisted scalar recursion — same arithmetic as the generic
+            # loop (prev starts at the implicit zero pad), no array reads
+            out = np.empty(n - np_)
+            prev = 0.0
+            for t in range(np_, n):
+                prev = a[t] - c * prev
+                out[t - np_] = prev
+            return out
+        # single lag L ≥ 2: chunk [j, j+L) depends only on the fully
+        # computed chunk [j−L, j) — elementwise-identical to the scalar
+        # loop, batched L values per Python step
+        epad = np.zeros(n + lag)
+        for j in range(np_, n, lag):
+            hi = min(j + lag, n)
+            epad[lag + j : lag + hi] = (
+                a[j:hi] - c * epad[j : j + (hi - j)])
+        return epad[lag + np_:]
     # e padded with nq leading zeros so e_{t-k} reads never branch;
     # positions < ncond stay zero by construction
     epad = np.zeros(n + nq)
@@ -233,7 +290,7 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None):
 
     def objective_full(x):
         ar, ma, mu, parts = _expand_params(x, p, q, P, Q, m, use_mean)
-        if check_roots and not (_roots_ok(ar) and _roots_ok(ma)):
+        if check_roots and not _factors_ok(parts, m):
             return np.inf
         e = _css_resid(z - mu, ar, ma)
         sse = float(np.dot(e, e))
@@ -333,29 +390,58 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray):
     if q_:
         R[1: q_ + 1] = theta
     RR = np.outer(R, R)
-    # stationary P0: vec(P) = (I - T⊗T)^{-1} vec(RR')
-    try:
-        vecP = np.linalg.solve(np.eye(r * r) - np.kron(T, T), RR.reshape(-1))
-    except np.linalg.LinAlgError:
-        return -np.inf, np.nan
-    P = vecP.reshape(r, r)
+    # stationary P0 = Σ T^j RR T'^j by the doubling iteration
+    # P ← P + A P A', A ← A² — O(iters·r³) instead of the (I − T⊗T)
+    # kron solve's O(r⁶), which dominated the AutoARIMA profile at
+    # seasonal state dimensions (r ≈ 25 → a 625×625 solve per likelihood
+    # evaluation). Falls back to the exact solve if not converged (near
+    # unit-root T).
+    P = RR.copy()
+    A = T.copy()
+    for _ in range(60):
+        APA = A @ P @ A.T
+        P = P + APA
+        if not np.all(np.isfinite(P)):
+            return -np.inf, np.nan
+        if np.abs(APA).max() <= 1e-13 * (1.0 + np.abs(P).max()):
+            break
+        A = A @ A
+    else:
+        try:
+            vecP = np.linalg.solve(np.eye(r * r) - np.kron(T, T),
+                                   RR.reshape(-1))
+        except np.linalg.LinAlgError:
+            return -np.inf, np.nan
+        P = vecP.reshape(r, r)
     if not np.all(np.isfinite(P)):
         return -np.inf, np.nan
     a = np.zeros(r)
     n = x.size
     ssq = 0.0
     logdet = 0.0
+    # steady-state freeze: P converges after O(10) steps for stationary
+    # ARMA; afterwards F/K are constant and each step is one matvec
+    steady = False
+    F = np.nan
+    K = np.zeros(r)
     for t in range(n):
-        F = P[0, 0]
-        if not np.isfinite(F) or F <= 0:
-            return -np.inf, np.nan
+        if not steady:
+            F = P[0, 0]
+            if not np.isfinite(F) or F <= 0:
+                return -np.inf, np.nan
         v = x[t] - a[0]
         ssq += v * v / F
         logdet += np.log(F)
+        if steady:
+            a = T @ a + K * v
+            continue
         M = T @ P[:, 0]
         K = M / F
         a = T @ a + K * v
-        P = T @ P @ T.T + RR - np.outer(K, M)
+        Pn = T @ P @ T.T + RR - np.outer(K, M)
+        if np.abs(Pn - P).max() <= 1e-10 * (1.0 + np.abs(Pn).max()):
+            steady = True
+        P = Pn
     sigma2 = ssq / n
     if sigma2 <= 0:
         return -np.inf, np.nan
@@ -393,8 +479,8 @@ def _ml_refine(z, p, q, P, Q, m, use_mean, fit, maxiter=300, fixed=None):
     def nll(x_free):
         x = fixed_full.copy()
         x[free] = x_free
-        ar, ma, mu, _ = _expand_params(x, p, q, P, Q, m, use_mean)
-        if not (_roots_ok(ar) and _roots_ok(ma)):
+        ar, ma, mu, parts_ = _expand_params(x, p, q, P, Q, m, use_mean)
+        if not _factors_ok(parts_, m):
             return np.inf
         ll, _ = _arma_exact_loglik(z - mu, ar, ma)
         return -ll if np.isfinite(ll) else np.inf
