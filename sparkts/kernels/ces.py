@@ -138,16 +138,20 @@ def _ces_calc(y, st0, m_eff, season, a0, a1, b0, b1, nmse=3, backfit=True):
     denom = np.zeros(nmse)
 
     def one_pass(yv):
+        # one-step forecast computed inline (same arithmetic as
+        # _ces_fcst's first iteration); the multi-step AMSE rollout the
+        # old code ran per observation had no consumer — CES selection is
+        # by likelihood/AICc only — and dominated the AutoCES profile
         lik = 0.0
         for t in range(n):
             i = m_eff + t
-            f, _ = _ces_fcst(buf, i, m_eff, season, nmse, a0, a1, b0, b1)
-            e[t] = yv[t] - f[0]
-            for j in range(nmse):
-                if t + j < n:
-                    denom[j] += 1.0
-                    tmp = yv[t + j] - f[j]
-                    amse[j] = (amse[j] * (denom[j] - 1.0) + tmp * tmp) / denom[j]
+            if season == _S:
+                f0 = buf[i - m_eff, 0]
+            else:
+                f0 = buf[i - 1, 0]
+            if season > _S:
+                f0 += buf[i - m_eff, 2]
+            e[t] = yv[t] - f0
             _ces_update(buf, i, m_eff, season, a0, a1, b0, b1, yv[t])
             lik += e[t] * e[t]
         return lik

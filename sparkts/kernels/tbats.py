@@ -97,10 +97,55 @@ def _seasonal_init(z: np.ndarray, periods, ks):
     return intercept, slope, coef
 
 
+def _run_tbats_k1(z, m, alpha, beta, phi, g1, g2, l0, b0, s1, s2,
+                  use_trend, h):
+    """Scalar specialization of `_run_tbats` for one period with one
+    harmonic (the most common fitted shape): identical arithmetic, no
+    per-step numpy allocations — this inner loop runs hundreds of times
+    per AutoTBATS Nelder-Mead and dominated the profile."""
+    lj = 2 * np.pi * np.arange(1, 2) / m
+    c, sn = float(np.cos(lj)[0]), float(np.sin(lj)[0])
+    n = z.size
+    e = np.empty(n)
+    fitted = np.empty(n)
+    l, b = float(l0), float(b0)
+    for t in range(n):
+        yhat = l + (phi * b if use_trend else 0.0)
+        yhat += s1
+        fitted[t] = yhat
+        et = z[t] - yhat
+        e[t] = et
+        lev = l + (phi * b if use_trend else 0.0)
+        l = lev + alpha * et
+        if use_trend:
+            b = phi * b + beta * et
+        ns1 = s1 * c + s2 * sn + g1 * et
+        ns2 = -s1 * sn + s2 * c + g2 * et
+        s1, s2 = ns1, ns2
+    fc = np.empty(h)
+    for i in range(h):
+        yhat = l + (phi * b if use_trend else 0.0)
+        yhat += s1
+        fc[i] = yhat
+        lev = l + (phi * b if use_trend else 0.0)
+        l = lev
+        if use_trend:
+            b = phi * b
+        ns1 = s1 * c + s2 * sn
+        ns2 = -s1 * sn + s2 * c
+        s1, s2 = ns1, ns2
+    return e, fitted, fc
+
+
 def _run_tbats(z, periods, ks, alpha, beta, phi, gammas, l0, b0, s0,
                use_trend, h=0):
     """The innovations recursion; returns (e, fitted, fc)."""
     n = z.size
+    if len(periods) == 1 and ks[0] == 1:
+        g1, g2 = gammas[0]
+        return _run_tbats_k1(z, periods[0], alpha, beta, phi, g1, g2,
+                             l0, b0, float(s0[0]), float(s0[1]),
+                             use_trend, h)
     l, b = l0, b0
     blocks = []
     lam_cs = []
