@@ -585,20 +585,25 @@ def q_smoothing_fc(spark, sf_dir):
 
 
 def q_smoothing_opt_fc(spark, sf_dir):
-    """Golden-section-optimized SES + seasonal variant, h=4 — rows-only
-    (iterative optimizer); α recovery is unit-tested against the SSE grid."""
+    """Per-phase golden-section seasonal SES (SeasESOpt, m=7) on the daily
+    tier, h=8 so the seasonal tile wraps. Every phase subseries
+    (y[i + n%m :: m], end-aligned per models.py:2693) runs its own
+    golden-section search — the DuckDB oracle replays all of them via
+    _golden_ses_ctes over composite uid#phase keys. The hourly m=24
+    variant stays unit-tested (same code path, 24 phases)."""
     from sparkts.kernels import SeasonalExponentialSmoothingOptimized
 
     sf = SparkForecast(
-        [SimpleExponentialSmoothingOptimized(),
-         SeasonalExponentialSmoothingOptimized(24)],
-        freq="h",
+        [SeasonalExponentialSmoothingOptimized(7)],
+        freq="D",
     )
-    out = sf.forecast(_dense_panel(spark, sf_dir), h=4)
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=8)
+    # 2dp: the two engines' golden-section brackets can diverge at FP noise
+    # in late iterations (α* differs ~1e-11 → forecast ~1e-6); 4dp rounding
+    # put one sf0.001 value on a boundary
     return out.select(
         "unique_id", "ds",
-        F.round("SESOpt", 6).alias("ses_opt"),
-        F.round("SeasESOpt", 6).alias("seas_es_opt"),
+        F.round("SeasESOpt", 2).alias("seas_es_opt"),
     )
 
 
@@ -2119,6 +2124,52 @@ def _golden_ses_ctes(tag: str, tbl: str, lo: float, up: float) -> str:
     )"""
 
 
+def _smoothing_opt_sql(m: int = 7, h: int = 8) -> str:
+    """SeasESOpt twin (kernels/smoothing.py _SeasonalSESBase): phase i's
+    subseries starts at i + n%m and strides m; each runs golden_section_ses
+    (0.01, 0.99) — replayed by _golden_ses_ctes over uid#phase composite
+    keys; forecast step s tiles phase (s−1) % m. SET threads: see
+    _ses_opt_sql."""
+    return f"""
+    SET threads TO 1;
+    WITH RECURSIVE dpanel AS (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n,
+             max(ds) OVER (PARTITION BY unique_id) last_ds
+      FROM dpanel
+    ),
+    ph AS (  -- end-aligned per-phase subseries, composite uid#phase key
+      SELECT (unique_id || '#' || ((rn - 1 - (n % {m})) % {m}))
+               AS unique_id,
+             row_number() OVER (
+               PARTITION BY unique_id, ((rn - 1 - (n % {m})) % {m})
+               ORDER BY rn) AS rn,
+             count(*) OVER (
+               PARTITION BY unique_id, ((rn - 1 - (n % {m})) % {m})) AS n,
+             y
+      FROM idx WHERE rn > n % {m}
+    ),
+    {_golden_ses_ctes('p', 'ph', 0.01, 0.99)},
+    dec AS (
+      SELECT split_part(unique_id, '#', 1) AS uid,
+             split_part(unique_id, '#', 2)::INT AS phase, ln
+      FROM ln_p
+    ),
+    lastd AS (SELECT unique_id, max(last_ds) AS last_ds FROM idx
+              GROUP BY 1)
+    SELECT l.unique_id, l.last_ds + to_days(t.s::INT) AS ds,
+           round(d.ln, 2) AS seas_es_opt
+    FROM lastd l,
+         unnest(generate_series(1, {h})) t(s)
+    JOIN dec d ON d.uid = l.unique_id AND d.phase = (t.s - 1) % {m}
+    """
+
+
 def _intermittent_opt_sql() -> str:
     """ADIDA/IMAPA twin (kernels/intermittent.py + scan.chunk_forecast):
     agg level K = banker's-round(mean inter-demand interval); per agg ≤ K,
@@ -3481,6 +3532,7 @@ def oracle_sql() -> dict[str, str]:
         "ndiffs": _ndiffs_sql(),
         "theta_fixed_fc": _theta_fixed_sql(),
         "smoothing_fc": _smoothing_sql(),
+        "smoothing_opt_fc": _smoothing_opt_sql(),
         "arima_fc": _arima_drift_sql(),
         "garch_fixed_fc": _garch_fixed_sql(),
         "csp_hash_intervals": _csp_hash_sql(),
