@@ -442,8 +442,12 @@ def q_cosine_topk(spark, sf_dir):
         "vec_id",
         F.round(cosine_similarity_col(F.col("embedding"), qcol), 6).alias("cos_sim"),
     )
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition heaps
+    # + driver merge) — the full scored set never funnels through a
+    # single-partition window; rank is assigned over the 10 survivors only.
+    top = scored.orderBy(F.desc("cos_sim"), F.col("vec_id")).limit(10)
     w = W2.orderBy(F.desc("cos_sim"), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_quality_stats(spark, sf_dir):
@@ -1568,8 +1572,11 @@ def _ivf_ann_sql(sf_dir: str = _ORACLE_SF_DIR) -> str:
     cents, _q, probe = _local_ivf_state(sf_dir)
     cent_unnests = ",\n             ".join(
         f"unnest({_vec_lit(c)}) AS c{j}" for j, c in enumerate(cents))
+    # round(·, 9) mirrors ivf_assign_col's explicit tie-handling: FP sum order
+    # differs between engines, so the argmin compares rounded distances with a
+    # lower-index tiebreak on both sides.
     dist_aggs = ",\n             ".join(
-        f"sum((x - c{j}) * (x - c{j})) AS d{j}" for j in range(len(cents)))
+        f"round(sum((x - c{j}) * (x - c{j})), 9) AS d{j}" for j in range(len(cents)))
     dlist = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
     jlist = "[" + ", ".join(str(j) for j in range(len(cents))) + "]"
     probes = ", ".join(str(j) for j in probe)

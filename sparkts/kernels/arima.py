@@ -6,12 +6,11 @@ search, ndiffs arima.py:1771, nsdiffs arima.py:1696-1769; CSS approximation
 auto-enabled for long/high-season series arima.py:1858-1859). No reference
 code is copied; the estimation path differs deliberately:
 
-* the reference fits CSS then refines with a Kalman-filter ML step (C++
-  src/arima.cpp:749-756). Here estimation is conditional-sum-of-squares
-  (CSS) throughout under box-bounded Nelder-Mead — scipy/BFGS is not
-  available in this environment. CSS and CSS-ML agree to a few 1e-3 on the
-  reference's test problems and the AICc ranking is preserved, which is
-  what the stepwise search needs;
+* like the reference (C++ src/arima.cpp:749-756), estimation is css-ml by
+  default: a CSS fit seeds a Kalman-filter exact-likelihood refinement
+  (`_ml_refine`, below) under box-bounded Nelder-Mead — scipy/BFGS is not
+  available in this environment, so the optimizer is hand-rolled with
+  Hannan-Rissanen starts and an incumbent-restart polish;
 * stationarity/invertibility enforced by root checks (reject at |root|≤1)
   instead of the reference's partrans reparameterization.
 

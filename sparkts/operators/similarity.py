@@ -204,15 +204,24 @@ def train_ivf_centroids(
 
 def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> F.Column:
     """Nearest-centroid id, fully JVM-side: argmin over per-centroid
-    squared distances built from F.aggregate dot products (no UDF)."""
+    squared distances built from F.aggregate dot products (no UDF).
+
+    Distances are rounded to 9 decimals before the argmin so near-equidistant
+    boundary vectors resolve the same way in any engine that recomputes the
+    assignment (FP summation order differs across engines; strict `<` on raw
+    doubles would make the tie-break depend on the last ulp). Ties after
+    rounding go to the lower centroid index on every side."""
     v = F.col(vec_col)
     best_id, best_d = F.lit(0), None
     for j, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        d = F.round(
+            F.aggregate(
+                F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
         )
         if best_d is None:
             best_d = d

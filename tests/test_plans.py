@@ -124,3 +124,22 @@ class TestTopKPlans:
         cent = train_ivf_centroids(emb, n_lists=4, sample_rows=64)
         out = ivf_ann_topk(emb, [1.0] * 8, cent, k=5, nprobe=2)
         assert "TakeOrderedAndProject" in plan_of(out)
+
+    def test_driver_cosine_topk_no_global_window(self, spark, tmp_path):
+        """The driver query q_cosine_topk must use the same
+        TakeOrderedAndProject shape as the library path: a partitionless
+        window may only ever see the k survivors, never the full scored set
+        (round-2 VERDICT item #2)."""
+        import numpy as np
+        import __spark_entry__ as e
+        rng = np.random.default_rng(0)
+        rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(64)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = e.q_cosine_topk(spark, str(tmp_path))
+        p = plan_of(out)
+        assert "TakeOrderedAndProject" in p
+        # the only Window node sits above the limit — its input is ≤ k rows
+        assert p.index("TakeOrderedAndProject") > p.index("Window")
+        assert len(out.collect()) == 10

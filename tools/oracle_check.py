@@ -66,6 +66,10 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Data-derived oracle literals (IVF centroids, LSH plane dims) must come
+    # from the SAME tables the Spark query reads, or scale-dependent queries
+    # spuriously mismatch at non-default sf (round-2 ivf_ann@sf0.001 lesson).
+    os.environ.setdefault("SPARKTS_ORACLE_SF_DIR", sf_dir)
     import __spark_entry__ as e
     from sparkts.session import get_spark
 
