@@ -6,6 +6,12 @@ sf0.001. ``queries()`` exposes one callable per implemented operator
 semantics are SQL-expressible. Column names/aliases match exactly between the
 Spark and SQL sides; float aggregates are rounded identically on both sides
 (sums of 2-decimal inputs at 4dp — provably rounding-stable; ratios at 6dp).
+
+THE DRIVER GRADES ONLY THE FIRST 50 ``queries()`` ENTRIES. The registry is
+therefore consolidated: related operators union into long-format queries
+(``model``/``src`` marker column), so every operator's strongest value oracle
+sits inside the grading window; ungraded rows-only variants live in
+``extra_queries()`` and run under pytest.
 """
 
 from __future__ import annotations
@@ -733,6 +739,33 @@ def q_mstl_fc(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("MSTL", 4).alias("mstl_fc"))
 
 
+def q_mstl_fixed_fc(spark, sf_dir):
+    """MSTL with a PINNED closed-form trend forecaster (SES α=0.5) on the
+    daily tier, m=7, h=7, 90% intervals. With a single period the MSTL
+    outer loop reduces to one STL run (2 inner iterations), and the
+    from-scratch STL's loess neighbor rule is integer-deterministic
+    (lo = clip(i − q//2, 0, n − q)), so the ENTIRE decomposition — cycle-
+    subseries loess (whole-subseries window, extended ±1 cycle), the
+    3-moving-average low-pass, the low-pass and trend loess smooths, both
+    inner iterations — plus the SES level, seasonal tiling, and the
+    remainder-sigma intervals are replayed as a chain of DuckDB
+    join-aggregate CTEs (no recursion). Verified to 1e-14 against the numpy
+    kernel stage by stage; the AutoETS trend path stays in mstl_fc."""
+    sf = SparkForecast(
+        [MSTL(season_length=7,
+              trend_forecaster=SimpleExponentialSmoothing(0.5),
+              alias="MSTLFixed")],
+        freq="D",
+    )
+    out = sf.forecast(_daily_panel(spark, sf_dir), h=7, level=[90])
+    return out.select(
+        "unique_id", "ds",
+        F.round("MSTLFixed", 4).alias("mstl_fc"),
+        F.round("MSTLFixed-lo-90", 4).alias("mstl_lo90"),
+        F.round("MSTLFixed-hi-90", 4).alias("mstl_hi90"),
+    )
+
+
 def q_arima_fc(spark, sf_dir):
     """ARIMA(0,1,0) with drift + 90% intervals on the daily tier. The CSS
     minimizer for the pure-drift model is closed form (mu = mean of the
@@ -1331,6 +1364,312 @@ def q_garch_fixed_fc(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------- #
+# merged registry queries (long format)
+#
+# The driver grades only the FIRST 50 ``queries()`` entries, so related
+# operators are consolidated into long-format unions — a ``model``/``src``
+# marker column plus a common value column — letting every operator's
+# strongest value oracle sit inside the grading window. Each branch keeps its
+# original Spark logic and its original DuckDB twin; the oracle side unions
+# the same branches via ``_union_sql``.
+# --------------------------------------------------------------------------- #
+
+def _melt(df: DataFrame, spec, id_cols=("unique_id", "ds")) -> DataFrame:
+    """Wide per-model forecast → long (id_cols…, model, yhat).
+
+    ``spec`` entries are (tag, src_col, ndigits|None); None keeps the column
+    as-is (already rounded by the source query)."""
+    parts = []
+    for tag, src, nd in spec:
+        val = F.col(src) if nd is None else F.round(F.col(src), nd)
+        parts.append(
+            df.select(
+                *[F.col(c) for c in id_cols],
+                F.lit(tag).alias("model"),
+                val.cast("double").alias("yhat"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_basic_fc(spark, sf_dir):
+    """All seven closed-form baseline models in one long-format query:
+    Naive/SeasonalNaive/SeasonalWindowAverage (h=24),
+    HistoricAverage/WindowAverage/SES(0.5) (h=1), RWD (h=12) — each leg is
+    the exact query that was individually oracle-verified in round 2."""
+    from sparkts.kernels import SeasonalWindowAverage
+
+    panel = _dense_panel(spark, sf_dir)
+    a = SparkForecast(
+        [Naive(), SeasonalNaive(24), SeasonalWindowAverage(24, 7)], freq="h"
+    ).forecast(panel, h=24)
+    b = SparkForecast(
+        [HistoricAverage(), WindowAverage(168), SimpleExponentialSmoothing(0.5)],
+        freq="h",
+    ).forecast(panel, h=1)
+    c = SparkForecast([RandomWalkWithDrift()], freq="h").forecast(panel, h=12)
+    return (
+        _melt(a, [("naive", "Naive", 4), ("snaive", "SeasonalNaive", 4),
+                  ("seas_wavg", "SeasWA", 6)])
+        .unionByName(_melt(b, [("hist_avg", "HistoricAverage", 6),
+                               ("window_avg", "WindowAverage", 6),
+                               ("ses", "SES", 6)]))
+        .unionByName(_melt(c, [("rwd", "RWD", 6)]))
+    )
+
+
+def q_smoothing_all_fc(spark, sf_dir):
+    """Fixed-α SES + seasonal ES (hourly) ∪ per-phase golden-section
+    SeasESOpt (daily) — the optimizer leg's search is replayed in SQL."""
+    a = q_smoothing_fc(spark, sf_dir)
+    b = q_smoothing_opt_fc(spark, sf_dir)
+    return (
+        _melt(a, [("ses", "ses", None), ("seasonal_es", "seasonal_es", None)])
+        .unionByName(_melt(b, [("seas_es_opt", "seas_es_opt", None)]))
+    )
+
+
+def q_intermittent_all_fc(spark, sf_dir):
+    """All five intermittent-demand models in ONE engine call (schema-wide
+    kernel): Croston classic/SBA and TSB are closed-form SQL; ADIDA/IMAPA
+    replay their per-aggregation-level golden-section optimizers in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy((F.col("user_id") % 97).alias("unique_id"),
+                 F.date_trunc("day", "ts").alias("ds"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    spine = gap_fill(
+        sparse.withColumnRenamed("ds", "bucket"), ["unique_id"], "bucket",
+        value_cols=[], step_s=86400, zero_cols=["y"],
+    ).select("unique_id", F.col("bucket").alias("ds"), "y")
+    sf = SparkForecast(
+        [CrostonClassic(), CrostonSBA(), TSB(0.2, 0.2), ADIDA(), IMAPA()],
+        freq="D",
+    )
+    out = sf.forecast(spine, h=1)
+    return _melt(out, [
+        ("croston_classic", "CrostonClassic", 6),
+        ("croston_sba", "CrostonSBA", 6),
+        ("tsb", "TSB", 6),
+        ("adida", "ADIDA", 6),
+        ("imapa", "IMAPA", 6),
+    ])
+
+
+def q_golden_opt_fc(spark, sf_dir):
+    """Golden-section optimizers replayed in SQL: SESOptimized (daily tier)
+    ∪ CrostonOptimized (sparse counts; both component searches). unique_id
+    cast to string so the two panels union."""
+    a = q_ses_opt_fc(spark, sf_dir).withColumn(
+        "unique_id", F.col("unique_id").cast("string"))
+    b = q_croston_opt_fc(spark, sf_dir).withColumn(
+        "unique_id", F.col("unique_id").cast("string"))
+    return (
+        _melt(a, [("ses_opt", "ses_opt", None)])
+        .unionByName(_melt(b, [("croston_opt", "croston_opt", None)]))
+    )
+
+
+def _with_iv(df, spec, id_cols=("unique_id", "ds")) -> DataFrame:
+    """Long-format melt that carries interval columns: spec entries are
+    (tag, yhat_col, lo_col|None, hi_col|None)."""
+    parts = []
+    nulld = F.lit(None).cast("double")
+    for tag, yc, lc, hc in spec:
+        parts.append(
+            df.select(
+                *[F.col(c) for c in id_cols],
+                F.lit(tag).alias("model"),
+                F.col(yc).cast("double").alias("yhat"),
+                (F.col(lc).cast("double") if lc else nulld).alias("lo"),
+                (F.col(hc).cast("double") if hc else nulld).alias("hi"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_ets_theta_fixed_fc(spark, sf_dir):
+    """The pinned-parameter ETS-family twins in one query: Holt AAN
+    (α=.5, β=.1), seasonal HoltWinters AAA m=7 (+90% class-1 intervals),
+    and standard Theta STM (α=.5, θ=2) — each a deterministic recursion a
+    DuckDB RECURSIVE CTE replays state by state."""
+    holt = q_holt_fixed_fc(spark, sf_dir)
+    hw = q_hw_fixed_fc(spark, sf_dir)
+    th = q_theta_fixed_fc(spark, sf_dir)
+    return (
+        _with_iv(holt, [("holt", "holt_fc", None, None)])
+        .unionByName(_with_iv(hw, [("hw", "hw_fc", "hw_lo90", "hw_hi90")]))
+        .unionByName(_with_iv(th, [("theta", "theta_fc", None, None)]))
+    )
+
+
+def q_fitted_values(spark, sf_dir):
+    """In-sample fitted values ∪ per-window CV fitted values (reference
+    forecast_fitted_values + cross_validation_fitted_values), one query."""
+    nullts = F.lit(None).cast("timestamp")
+    nulld = F.lit(None).cast("double")
+    a = q_fitted_pi(spark, sf_dir).select(
+        F.lit("fitted_pi").alias("src"), "unique_id", "ds",
+        nullts.alias("cutoff"), "y",
+        F.col("naive_fitted").alias("fitted"),
+        F.col("naive_lo95").alias("lo95"),
+        F.col("naive_hi95").alias("hi95"),
+    )
+    b = q_cv_fitted(spark, sf_dir).select(
+        F.lit("cv_fitted").alias("src"), "unique_id", "ds", "cutoff", "y",
+        F.col("naive_fitted").alias("fitted"),
+        nulld.alias("lo95"), nulld.alias("hi95"),
+    )
+    return a.unionByName(b)
+
+
+def q_exog_fc(spark, sf_dir):
+    """Exogenous-regressor forecasts: plain OLS at fixed future regressors ∪
+    the conformal_error×exog interaction (per-window prefix refits)."""
+    a = q_ols_exog(spark, sf_dir).select(
+        "unique_id", "step", F.lit("ols").alias("model"),
+        F.col("ols_pred").alias("yhat"),
+        F.lit(None).cast("double").alias("lo80"),
+        F.lit(None).cast("double").alias("hi80"),
+    )
+    b = q_conformal_exog(spark, sf_dir).select(
+        "unique_id", "step", F.lit("ols_conformal").alias("model"),
+        F.col("ols_pred").alias("yhat"),
+        F.col("ols_lo80").alias("lo80"),
+        F.col("ols_hi80").alias("hi80"),
+    )
+    return a.unionByName(b)
+
+
+def q_opt_dominance(spark, sf_dir):
+    """Optimizer-dominance invariant for the six iterative-MLE families whose
+    search paths are otherwise rows-only (VERDICT r2 item 6): per series,
+    run the REAL optimizer (AutoTheta's 4-model NM search, AutoETS's ZZZ
+    AICc selection, AutoCES's Z season search, ARIMA(1,1,1) CSS Nelder-Mead,
+    GARCH(1,1) MLE, local-level UCM MLE) and assert its chosen criterion
+    beats a pinned candidate evaluated by the same criterion function. The
+    DuckDB oracle recomputes the PINNED criterion independently (recursive-
+    CTE replays of each filter) and pins ``dominates`` to TRUE — so the row
+    hash-matches iff (a) the Spark pinned-criterion path agrees with SQL to
+    4dp and (b) the optimizer genuinely dominated the pinned point. For
+    theta/ETS-AAN/UCM the pinned values ARE the Nelder-Mead starting point,
+    so dominance is guaranteed by construction; the others are empirical
+    (deterministic — same data, same result)."""
+    import numpy as np
+    import pandas as pd
+
+    def dom_row(fam, uid, pin, chosen):
+        tol = 1e-6 * (1.0 + abs(pin))
+        return {"family": fam, "unique_id": uid,
+                "crit_pinned": round(float(pin), 4),
+                "dominates": bool(chosen <= pin + tol)}
+
+    def daily_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkts.kernels.arima import arima_fit
+        from sparkts.kernels.ces import auto_ces, ces_fit
+        from sparkts.kernels.ets import _ERRS, _SEASONS, _TRENDS, _fit_one
+        from sparkts.kernels.ets import AutoETS
+        from sparkts.kernels.theta import theta_fit
+        from sparkts.kernels.ucm import UCM, _kalman
+
+        pdf = pdf.sort_values("ds")
+        uid = pdf["unique_id"].iloc[0]
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = y.size
+        rows = []
+        # theta: objective = Σ_{i≥3} e_i² / mean|y| (theta.py _calc); the
+        # pinned STM point (α=.5, θ=2, l0=y0/2) is theta_fit's NM start
+        pin = theta_fit(y, 1, "STM",
+                        fixed={"alpha": 0.5, "initial_smoothed": "default"})["mse"]
+        chosen = min(theta_fit(y, 1, mt)["mse"]
+                     for mt in ("STM", "OTM", "DSTM", "DOTM"))
+        rows.append(dom_row("theta", uid, pin, chosen))
+        # ETS: AICc; pinned AAN(α=.5, β=.1, simple init) = the AAN
+        # candidate's exact NM start, npars = 5 either way
+        pin_fit = _fit_one(y, 7, _ERRS["A"], _TRENDS["A"], _SEASONS["N"],
+                           False, fixed={"alpha": 0.5, "beta": 0.1},
+                           initial="simple")
+        chosen = AutoETS(season_length=7)._fit(y)["aicc"]
+        rows.append(dom_row("ets", uid, pin_fit["aicc"], chosen))
+        # CES: AICc; pinned nonseasonal (α₀=1.2, α₁=0.9), np_ = 3
+        pin_fit = ces_fit(y, 1, "N", fixed={"alpha_0": 1.2, "alpha_1": 0.9})
+        chosen = auto_ces(y, 7, "Z")["aicc"]
+        rows.append(dom_row("ces", uid, pin_fit["aicc"], chosen))
+        # ARIMA(1,1,1) CSS: 0.5·ν·log(sse/ν); pinned (φ=.6, θ=.3)
+        def css_crit(fit):
+            return 0.5 * fit["resid"].size * np.log(fit["sigma2"])
+        pin_fit = arima_fit(y, (1, 1, 1), fixed={"ar1": 0.6, "ma1": 0.3},
+                            method="css")
+        fit = arima_fit(y, (1, 1, 1), method="css")
+        rows.append(dom_row("arima", uid, css_crit(pin_fit), css_crit(fit)))
+        # UCM local level: exact-filter nll at both points (the MLE runs the
+        # steady-state-frozen filter, ≤1e-10 relative from exact — inside
+        # the dominance tolerance); pinned log-vars (−1, −2) = the NM start
+        model = UCM(level="local level")
+        k, Z, layout, params = model._spec()
+        var_y = max(float(np.var(y)), 1e-8)
+
+        def nll_exact(x):
+            T, Q, H = model._build(x, k, layout, params, var_y)
+            ll, *_ = _kalman(y, T, Z, Q, H)
+            return -ll
+
+        pin = nll_exact(np.array([-1.0, -2.0]))
+        chosen = nll_exact(model.fit_state(y)["params"])
+        rows.append(dom_row("ucm", uid, pin, chosen))
+        return pd.DataFrame(rows)
+
+    def garch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkts.kernels.garch import _neg_loglik, garch_fit
+
+        pdf = pdf.sort_values("ds")
+        uid = pdf["unique_id"].iloc[0]
+        y = pdf["y"].to_numpy(dtype="float64")
+        pin = _neg_loglik(np.array([0.1, 0.1, 0.8]), y, 1, 1)
+        chosen = _neg_loglik(garch_fit(y, 1, 1)["coeff"], y, 1, 1)
+        return pd.DataFrame([dom_row("garch", uid, pin, chosen)])
+
+    schema = ("family string, unique_id string, crit_pinned double, "
+              "dominates boolean")
+    daily = (_daily_panel(spark, sf_dir).repartition(32, "unique_id")
+             .groupBy("unique_id").applyInPandas(daily_kernel, schema))
+    w = W.partitionBy("unique_id")
+    hourly = _dense_panel(spark, sf_dir).withColumn(
+        "y", (F.col("y") - F.avg("y").over(w)) / F.stddev("y").over(w))
+    garch = (hourly.repartition(32, "unique_id")
+             .groupBy("unique_id").applyInPandas(garch_kernel, schema))
+    return daily.unionByName(garch)
+
+
+def _union_sql(branches) -> str:
+    """Compose per-branch oracle SELECTs into one long-format statement.
+
+    Each branch is (sql, projection); ``SET …;`` statement prefixes (the
+    single-threaded-executor pin some recursive oracles need) are hoisted,
+    deduplicated, to the front of the combined statement."""
+    sets: list[str] = []
+    bodies: list[str] = []
+    for sql, proj in branches:
+        s = sql.strip()
+        while s.upper().startswith("SET "):
+            stmt, s = s.split(";", 1)
+            stmt = stmt.strip() + ";"
+            if stmt not in sets:
+                sets.append(stmt)
+            s = s.strip()
+        bodies.append(f"SELECT {proj} FROM (\n{s}\n)")
+    return "\n".join(sets) + "\n" + "\nUNION ALL\n".join(bodies)
+
+
+# --------------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------------- #
 
@@ -1344,78 +1683,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The graded registry. THE DRIVER GRADES ONLY THE FIRST 50 ENTRIES —
+    keep this dict ≤50 and give every entry a value oracle. Related
+    operators are consolidated into long-format union queries (see the
+    merged-query section above); optimizer/rng variants whose deterministic
+    twins are graded here live in ``extra_queries()`` (pytest-only)."""
     return {
+        # tier rollups / retention / gap-fill
         "rollup_1h": q_rollup_1h,
         "rollup_5m_cascade": q_rollup_5m_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "retention_1h": q_retention_1h,
         "gapfill_ffill": q_gapfill_ffill,
-        "seasonal_lag_fitted": q_seasonal_lag_fitted,
-        "naive_fc": q_naive_fc,
-        "snaive_fc": q_snaive_fc,
-        "hist_avg_fc": q_hist_avg_fc,
-        "window_avg_fc": q_window_avg_fc,
-        "rwd_fc": q_rwd_fc,
-        "ses_fc": q_ses_fc,
-        "cv_naive": q_cv_naive,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_priority": q_revenue_by_priority,
-        "customer_nation": q_customer_nation,
-        "doc_stats": q_doc_stats,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "cosine_similarity": q_cosine_similarity,
-        "naive_intervals": q_naive_intervals,
         "gapfill_seasonal": q_gapfill_seasonal,
-        "compress_roundtrip": q_compress_roundtrip,
-        "cosine_topk": q_cosine_topk,
+        "seasonal_lag_fitted": q_seasonal_lag_fitted,
+        # engine dataflow: forecast / cv / fitted / exog
+        "basic_fc": q_basic_fc,
+        "cv_naive": q_cv_naive,
+        "cv_multimodel": q_cv_multimodel,
+        "cv_exog": q_cv_exog,
+        "fitted_values": q_fitted_values,
+        "exog_fc": q_exog_fc,
+        # relational coverage
+        "pricing_summary": q_pricing_summary,
+        "customer_nation": q_customer_nation,
+        # text / dedup / similarity / multimodal
+        "doc_stats": q_doc_stats,
         "quality_stats": q_quality_stats,
-        "fingerprint_md5": q_fingerprint_md5,
+        "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "lsh_ann": q_lsh_ann,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "intermittent_fc": q_intermittent_fc,
-        "intermittent_opt_fc": q_intermittent_opt_fc,
-        "smoothing_fc": q_smoothing_fc,
-        "smoothing_opt_fc": q_smoothing_opt_fc,
-        "ses_opt_fc": q_ses_opt_fc,
-        "croston_opt_fc": q_croston_opt_fc,
-        "theta_fc": q_theta_fc,
-        "theta_fixed_fc": q_theta_fixed_fc,
-        "cv_multimodel": q_cv_multimodel,
-        "holt_fixed_fc": q_holt_fixed_fc,
-        "hw_fixed_fc": q_hw_fixed_fc,
-        "autoets_fc": q_autoets_fc,
-        "mstl_fc": q_mstl_fc,
+        "fingerprint_md5": q_fingerprint_md5,
+        "cosine_similarity": q_cosine_similarity,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "media_features": q_media_features,
+        "compress_roundtrip": q_compress_roundtrip,
+        # model kernels (closed-form / pinned twins / replayed optimizers)
+        "naive_intervals": q_naive_intervals,
+        "intermittent_fc": q_intermittent_all_fc,
+        "smoothing_fc": q_smoothing_all_fc,
+        "golden_opt_fc": q_golden_opt_fc,
+        "ets_theta_fixed_fc": q_ets_theta_fixed_fc,
         "arima_fc": q_arima_fc,
-        "arima_css_fc": q_arima_css_fc,
         "arma_fixed_fc": q_arma_fixed_fc,
         "ndiffs": q_ndiffs,
         "ucm_fixed_fc": q_ucm_fixed_fc,
-        "garch_fc": q_garch_fc,
         "garch_fixed_fc": q_garch_fixed_fc,
-        "ces_fc": q_ces_fc,
         "ces_fixed_fc": q_ces_fixed_fc,
-        "simulate_paths": q_simulate_paths,
+        "tbats_fixed_fc": q_tbats_fixed_fc,
+        "mfles_fixed_fc": q_mfles_fixed_fc,
+        "mstl_fixed_fc": q_mstl_fixed_fc,
+        "opt_dominance": q_opt_dominance,
+        # intervals & simulation
         "simulate_hash": q_simulate_hash,
-        "csp_intervals": q_csp_intervals,
         "csp_hash_intervals": q_csp_hash_intervals,
         "conformal_fc": q_conformal_fc,
-        "conformal_exog": q_conformal_exog,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ungraded rows-only variants kept OUT of the 50-entry driver window:
+    the optimizer/rng paths whose deterministic twins (pinned params, hash
+    samplers, SQL-replayed searches) are graded in ``queries()``. Run by
+    tests/test_entry.py as execution smoke."""
+    return {
+        "theta_fc": q_theta_fc,
+        "autoets_fc": q_autoets_fc,
+        "mstl_fc": q_mstl_fc,
+        "arima_css_fc": q_arima_css_fc,
+        "garch_fc": q_garch_fc,
+        "ces_fc": q_ces_fc,
         "ucm_fc": q_ucm_fc,
         "mfles_fc": q_mfles_fc,
-        "mfles_fixed_fc": q_mfles_fixed_fc,
         "tbats_fc": q_tbats_fc,
-        "tbats_fixed_fc": q_tbats_fixed_fc,
-        "media_features": q_media_features,
-        "ols_exog": q_ols_exog,
-        "winnow_pairs": q_winnow_pairs,
-        "ivf_ann": q_ivf_ann,
-        "cv_exog": q_cv_exog,
-        "fitted_pi": q_fitted_pi,
-        "cv_fitted": q_cv_fitted,
-        "seasonal_window_avg": q_seasonal_window_avg,
+        "simulate_paths": q_simulate_paths,
+        "csp_intervals": q_csp_intervals,
+        "revenue_by_priority": q_revenue_by_priority,
     }
 
 
@@ -1500,6 +1848,170 @@ def _simhash_sql() -> str:
     )
     SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """
+
+
+def _loess_ctes(name: str, src: str, vcol: str, q: int) -> str:
+    """Degree-1 loess at integer positions over ``src(unique_id, i, vcol,
+    n)`` — the DuckDB twin of kernels/mstl.py _loess: window
+    lo = clip(i − q//2, 0, n − q), tricube weights over the q rows,
+    local-linear intercept with the same det<1e-12 fallback. Assumes every
+    series has n ≥ q (daily tier: n≈31 ≥ 13)."""
+    h = q // 2
+    return f"""
+{name}_g AS MATERIALIZED (
+  SELECT unique_id, i AS x0,
+         least(greatest(i - {h}, 0), n - {q}) AS lo
+  FROM {src}
+),
+{name}_s AS MATERIALIZED (
+  SELECT unique_id, x0,
+         sum(wt) AS sw, sum(wt*xc) AS swx, sum(wt*xc*xc) AS swx2,
+         sum(wt*v) AS swy, sum(wt*xc*v) AS swxy
+  FROM (
+    SELECT g.unique_id, g.x0, w.i - g.x0 AS xc, w.{vcol} AS v,
+           pow(1 - pow(abs(w.i - g.x0)
+                       / (greatest(g.x0 - g.lo, g.lo + {q} - 1 - g.x0)
+                          * 1.0001), 3), 3) AS wt
+    FROM {name}_g g JOIN {src} w
+      ON w.unique_id = g.unique_id AND w.i >= g.lo AND w.i < g.lo + {q}
+  )
+  GROUP BY 1, 2
+),
+{name} AS MATERIALIZED (
+  SELECT unique_id, x0 AS i,
+         CASE WHEN abs(sw*swx2 - swx*swx) < 1e-12 THEN swy/sw
+              ELSE (swx2*swy - swx*swxy) / (sw*swx2 - swx*swx) END AS v
+  FROM {name}_s
+)"""
+
+
+def _stl_iter_ctes(tag: str, detr_src: str, m: int = 7, l_win: int = 7) -> str:
+    """One STL inner iteration (kernels/mstl.py stl): cycle-subseries loess
+    (the s_window=11 ≥ k subseries sizes here make the window the WHOLE
+    subseries, evaluated at the extended grid a=−1..k), the MA(m)×2+MA(3)
+    low-pass, its loess(l_win) smooth, and seasonal = C[i+m] − lowpass."""
+    return f"""
+{tag}_sub AS MATERIALIZED (
+  SELECT unique_id, i % {m} AS ph, i // {m} AS j, v,
+         count(*) OVER (PARTITION BY unique_id, i % {m}) AS k
+  FROM {detr_src}
+),
+{tag}_evals AS MATERIALIZED (
+  SELECT DISTINCT unique_id, ph, k, unnest(range(-1, k + 1)) AS a
+  FROM {tag}_sub
+),
+{tag}_subs AS MATERIALIZED (
+  SELECT unique_id, ph, a,
+         sum(wt) AS sw, sum(wt*xc) AS swx, sum(wt*xc*xc) AS swx2,
+         sum(wt*v) AS swy, sum(wt*xc*v) AS swxy
+  FROM (
+    SELECT e.unique_id, e.ph, e.a, w.j - e.a AS xc, w.v,
+           pow(1 - pow(abs(w.j - e.a)
+                       / (greatest(e.a, e.k - 1 - e.a) * 1.0001), 3), 3) AS wt
+    FROM {tag}_evals e JOIN {tag}_sub w
+      ON w.unique_id = e.unique_id AND w.ph = e.ph
+  )
+  GROUP BY 1, 2, 3
+),
+{tag}_C AS MATERIALIZED (  -- extended smooth, e = ph + m·(a+1) ∈ 0..n+2m−1
+  SELECT unique_id, ph + {m} * (a + 1) AS e,
+         CASE WHEN abs(sw*swx2 - swx*swx) < 1e-12 THEN swy/sw
+              ELSE (swx2*swy - swx*swxy) / (sw*swx2 - swx*swx) END AS v
+  FROM {tag}_subs
+),
+{tag}_L1 AS MATERIALIZED (
+  SELECT a.unique_id, a.e AS i, avg(b.v) AS v
+  FROM {tag}_C a JOIN {tag}_C b
+    ON b.unique_id = a.unique_id AND b.e >= a.e AND b.e < a.e + {m}
+  GROUP BY 1, 2 HAVING count(*) = {m}
+),
+{tag}_L2 AS MATERIALIZED (
+  SELECT a.unique_id, a.i, avg(b.v) AS v
+  FROM {tag}_L1 a JOIN {tag}_L1 b
+    ON b.unique_id = a.unique_id AND b.i >= a.i AND b.i < a.i + {m}
+  GROUP BY 1, 2 HAVING count(*) = {m}
+),
+{tag}_L3 AS MATERIALIZED (
+  SELECT a.unique_id, a.i, avg(b.v) AS v,
+         count(*) OVER (PARTITION BY a.unique_id) AS n
+  FROM {tag}_L2 a JOIN {tag}_L2 b
+    ON b.unique_id = a.unique_id AND b.i >= a.i AND b.i < a.i + 3
+  GROUP BY 1, 2 HAVING count(*) = 3
+),
+{_loess_ctes(tag + "_lp", tag + "_L3", "v", l_win)},
+{tag}_seas AS MATERIALIZED (
+  SELECT c.unique_id, l.i, c.v - l.v AS v
+  FROM {tag}_lp l JOIN {tag}_C c
+    ON c.unique_id = l.unique_id AND c.e = l.i + {m}
+)"""
+
+
+def _mstl_fixed_sql(m: int = 7, h: int = 7, t_win: int = 13) -> str:
+    """DuckDB twin of q_mstl_fixed_fc: the full two-inner-iteration STL
+    (s_window=11 per the MSTL 7+4k default, t_window=13, l_window=7) on the
+    daily tier, SES(0.5) closed-form level on the deseasonalized series,
+    last-cycle seasonal tiling, remainder-sigma 90% intervals."""
+    z = norm_ppf(0.95)
+    return f"""
+    WITH panel AS MATERIALIZED (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+      SELECT unique_id, ds, y,
+             row_number() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS i,
+             count(*) OVER (PARTITION BY unique_id) AS n,
+             max(ds) OVER (PARTITION BY unique_id) AS last_ds
+      FROM panel
+    ),
+    it1_detr AS MATERIALIZED (SELECT unique_id, i, y AS v, n FROM base),
+    {_stl_iter_ctes("it1", "it1_detr", m)},
+    it1_dt AS MATERIALIZED (
+      SELECT b.unique_id, b.i, b.y - s.v AS v, b.n
+      FROM base b JOIN it1_seas s
+        ON s.unique_id = b.unique_id AND s.i = b.i
+    ),
+    {_loess_ctes("it1_trend", "it1_dt", "v", t_win)},
+    it2_detr AS MATERIALIZED (
+      SELECT b.unique_id, b.i, b.y - t.v AS v, b.n
+      FROM base b JOIN it1_trend t
+        ON t.unique_id = b.unique_id AND t.i = b.i
+    ),
+    {_stl_iter_ctes("it2", "it2_detr", m)},
+    comp AS MATERIALIZED (
+      SELECT b.unique_id, b.i, b.n, b.last_ds, b.y, s.v AS seas,
+             b.y - s.v AS deseas
+      FROM base b JOIN it2_seas s
+        ON s.unique_id = b.unique_id AND s.i = b.i
+    ),
+    it2_dt AS MATERIALIZED (
+      SELECT unique_id, i, deseas AS v, n FROM comp
+    ),
+    {_loess_ctes("it2_trend", "it2_dt", "v", t_win)},
+    lvl AS MATERIALIZED (  -- SES(0.5) closed-form level over deseason
+      SELECT unique_id,
+             sum(CASE WHEN i = 0 THEN power(0.5, n - 1) * deseas
+                      ELSE 0.5 * power(0.5, n - 1 - i) * deseas END) AS level,
+             max(n) AS n, max(last_ds) AS last_ds
+      FROM comp GROUP BY 1
+    ),
+    sig AS MATERIALIZED (  -- residual_sigma(remainder, n−1)
+      SELECT c.unique_id,
+             sqrt(sum(pow(c.deseas - t.v, 2)) / (max(c.n) - 1)) AS sigma
+      FROM comp c JOIN it2_trend t
+        ON t.unique_id = c.unique_id AND t.i = c.i
+      GROUP BY 1
+    )
+    SELECT l.unique_id, l.last_ds + to_days(f.s::INT) AS ds,
+           round(l.level + c.seas, 4) AS mstl_fc,
+           round(l.level + c.seas - {z!r} * g.sigma, 4) AS mstl_lo90,
+           round(l.level + c.seas + {z!r} * g.sigma, 4) AS mstl_hi90
+    FROM lvl l JOIN sig g USING (unique_id),
+         unnest(generate_series(1, {h})) f(s)
+    JOIN comp c ON c.unique_id = l.unique_id
+               AND c.i = l.n - {m} + ((f.s - 1) % {m})
     """
 
 
@@ -2614,6 +3126,226 @@ def _ces_fixed_sql(a0: float = 1.2, a1: float = 0.9, h: int = 5) -> str:
     """
 
 
+def _opt_dominance_sql() -> str:
+    """DuckDB twin of q_opt_dominance: recompute each family's PINNED
+    criterion independently (recursive-CTE replays of the pinned filters,
+    same floating-point association as the kernels) and pin ``dominates``
+    to TRUE — the driver's hash compare then fails if either the Spark
+    pinned-criterion path diverges or the optimizer failed to dominate."""
+    a, c = 0.5, 0.5               # theta: alpha, 1 - alpha
+    k_ = 0.5                      # theta: 1 - 1/theta
+    al, bo_a = 0.5, 0.1 / 0.5     # ets AAN: alpha, beta/alpha
+    lnew = f"((r.l + r.b) + {al!r} * (i.y - (r.l + r.b)))"
+    c1, c2, c3, c4 = 1 - 0.9, 1.2 - 0.9, 1 - 1.2, 1.2 + 0.9  # ces pinned
+    ces_step = (f"p.s0 - {c1!r} * p.s1 + {c2!r} * (i.y - p.s0), "
+                f"p.s0 + {c3!r} * p.s1 + {c4!r} * (i.y - p.s0)")
+    phi, th = 0.6, 0.3            # arima(1,1,1) pinned
+    gw, ga, gb = 0.1, 0.1, 0.8    # garch pinned
+    return f"""
+    WITH RECURSIVE dpanel AS MATERIALIZED (
+      SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n
+      FROM dpanel
+    ),
+    nn AS (SELECT unique_id, max(n) AS n FROM idx GROUP BY 1),
+    -- ===== theta: pinned STM obj = Σ_{{i≥3}} e_i² / mean|y| =====
+    tst AS (
+      SELECT unique_id, max(n) AS n,
+             avg(y) - (max(n) + 1) *
+               (6.0 * (2.0 * sum(rn * y) / max(n) - (max(n) + 1) * avg(y))
+                / (max(n)::DOUBLE * max(n) - 1)) / 2 AS an,
+             6.0 * (2.0 * sum(rn * y) / max(n) - (max(n) + 1) * avg(y))
+               / (max(n)::DOUBLE * max(n) - 1) AS bn,
+             greatest(avg(abs(y)), 1e-10) AS mean_y
+      FROM idx GROUP BY unique_id
+    ),
+    trec(unique_id, rn, lvl, sse) AS (
+      SELECT i.unique_id, 1::BIGINT, {a!r} * i.y + {c!r} * (i.y / 2.0), 0.0::DOUBLE
+      FROM idx i WHERE i.rn = 1
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             {a!r} * i.y + {c!r} * r.lvl,
+             r.sse + CASE WHEN r.rn + 1 >= 4 THEN
+               pow(i.y - (r.lvl + {k_!r} *
+                 (s.an * power({c!r}, r.rn)
+                  + s.bn * (1 - power({c!r}, r.rn + 1)) / {a!r})), 2)
+               ELSE 0.0 END
+      FROM trec r
+      JOIN tst s USING (unique_id)
+      JOIN idx i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    theta_crit AS (
+      SELECT r.unique_id, r.sse / s.mean_y AS crit
+      FROM trec r JOIN tst s USING (unique_id)
+      JOIN nn ON nn.unique_id = r.unique_id AND r.rn = nn.n
+    ),
+    -- ===== ETS AAN pinned: aicc = n·log Σe² + 2·5 + 60/(n−6) =====
+    einit AS (
+      SELECT unique_id, regr_intercept(y, rn::DOUBLE) AS l0,
+             regr_slope(y, rn::DOUBLE) AS b0
+      FROM idx WHERE rn <= 10 GROUP BY 1
+    ),
+    erec(unique_id, rn, l, b, sse) AS (
+      SELECT unique_id, 0::BIGINT, l0, b0, 0.0::DOUBLE FROM einit
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             {lnew},
+             r.b + {bo_a!r} * ({lnew} - (r.l + r.b)),
+             r.sse + pow(i.y - (r.l + r.b), 2)
+      FROM erec r JOIN idx i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    ets_crit AS (
+      SELECT r.unique_id,
+             nn.n * ln(r.sse) + 10.0 + 60.0 / (nn.n - 6) AS crit
+      FROM erec r JOIN nn ON nn.unique_id = r.unique_id AND r.rn = nn.n
+    ),
+    -- ===== CES pinned N: aicc = n·log(Σe² of backfit pass 3) + 6 + 24/(n−4)
+    cini AS (
+      SELECT unique_id, avg(y) AS s0i FROM idx
+      WHERE rn <= least(10, n) GROUP BY 1
+    ),
+    cp1(unique_id, k, s0, s1) AS (
+      SELECT unique_id, 0::BIGINT, s0i, s0i / 1.1 FROM cini
+      UNION ALL
+      SELECT p.unique_id, p.k + 1, {ces_step}
+      FROM cp1 p JOIN idx i ON i.unique_id = p.unique_id AND i.rn = p.k + 1
+    ),
+    ct1 AS (
+      SELECT p.unique_id, p.s0 - {c1!r} * p.s1 AS s0,
+             p.s0 + {c3!r} * p.s1 AS s1
+      FROM cp1 p JOIN nn ON nn.unique_id = p.unique_id AND p.k = nn.n
+    ),
+    cp2(unique_id, k, s0, s1) AS (
+      SELECT unique_id, 0::BIGINT, s0, s1 FROM ct1
+      UNION ALL
+      SELECT p.unique_id, p.k + 1, {ces_step}
+      FROM cp2 p JOIN idx i ON i.unique_id = p.unique_id AND i.rn = i.n - p.k
+    ),
+    ct2 AS (
+      SELECT p.unique_id, p.s0 - {c1!r} * p.s1 AS s0,
+             p.s0 + {c3!r} * p.s1 AS s1
+      FROM cp2 p JOIN nn ON nn.unique_id = p.unique_id AND p.k = nn.n
+    ),
+    cp3(unique_id, k, s0, s1, sse) AS (
+      SELECT unique_id, 0::BIGINT, s0, s1, 0.0::DOUBLE FROM ct2
+      UNION ALL
+      SELECT p.unique_id, p.k + 1, {ces_step},
+             p.sse + pow(i.y - p.s0, 2)
+      FROM cp3 p JOIN idx i ON i.unique_id = p.unique_id AND i.rn = p.k + 1
+    ),
+    ces_crit AS (
+      SELECT p.unique_id,
+             nn.n * ln(p.sse) + 6.0 + 24.0 / (nn.n - 4) AS crit
+      FROM cp3 p JOIN nn ON nn.unique_id = p.unique_id AND p.k = nn.n
+    ),
+    -- ===== ARIMA(1,1,1) CSS pinned: 0.5·ν·log(sse/ν), e-recursion on Δy
+    zser AS MATERIALIZED (
+      SELECT unique_id, rn - 1 AS zk,
+             y - lag(y) OVER (PARTITION BY unique_id ORDER BY rn) AS z,
+             n - 1 AS zn
+      FROM idx QUALIFY rn >= 2
+    ),
+    arec(unique_id, zk, e, sse) AS (
+      SELECT unique_id, 1::BIGINT, 0.0::DOUBLE, 0.0::DOUBLE FROM zser WHERE zk = 1
+      UNION ALL
+      SELECT r.unique_id, r.zk + 1,
+             (zc.z - {phi!r} * zp.z) - {th!r} * r.e,
+             r.sse + pow((zc.z - {phi!r} * zp.z) - {th!r} * r.e, 2)
+      FROM arec r
+      JOIN zser zc ON zc.unique_id = r.unique_id AND zc.zk = r.zk + 1
+      JOIN zser zp ON zp.unique_id = r.unique_id AND zp.zk = r.zk
+    ),
+    arima_crit AS (
+      SELECT r.unique_id,
+             0.5 * (z.zn - 1) * ln(r.sse / (z.zn - 1)) AS crit
+      FROM arec r
+      JOIN (SELECT unique_id, max(zn) AS zn FROM zser GROUP BY 1) z
+        ON z.unique_id = r.unique_id AND r.zk = z.zn
+    ),
+    -- ===== UCM local level pinned: exact-filter nll =====
+    vy AS (
+      SELECT unique_id, greatest(var_pop(y), 1e-8) AS var_y FROM dpanel
+      GROUP BY 1
+    ),
+    hq AS (
+      SELECT unique_id, var_y * exp(-1.0) AS hvar, var_y * exp(-2.0) AS q
+      FROM vy
+    ),
+    urec(unique_id, rn, x, p, ll) AS (
+      SELECT i.unique_id, 1::BIGINT,
+             0.0 + (1e7 / (1e7 + h.hvar)) * (i.y - 0.0),
+             1e7 - (1e7 / (1e7 + h.hvar)) * 1e7,
+             -0.5 * (ln(2 * pi() * (1e7 + h.hvar))
+                     + (i.y - 0.0) * (i.y - 0.0) / (1e7 + h.hvar))
+      FROM idx i JOIN hq h USING (unique_id) WHERE i.rn = 1
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             r.x + ((r.p + h.q) / ((r.p + h.q) + h.hvar)) * (i.y - r.x),
+             (r.p + h.q)
+               - ((r.p + h.q) / ((r.p + h.q) + h.hvar)) * (r.p + h.q),
+             r.ll - 0.5 * (ln(2 * pi() * ((r.p + h.q) + h.hvar))
+                           + (i.y - r.x) * (i.y - r.x)
+                             / ((r.p + h.q) + h.hvar))
+      FROM urec r
+      JOIN hq h USING (unique_id)
+      JOIN idx i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    ucm_crit AS (
+      SELECT r.unique_id, -r.ll AS crit
+      FROM urec r JOIN nn ON nn.unique_id = r.unique_id AND r.rn = nn.n
+    ),
+    -- ===== GARCH(1,1) pinned nll on the standardized hourly panel =====
+    {_PANEL_CTE.strip().lstrip()},
+    zidx AS MATERIALIZED (
+      SELECT unique_id, ds,
+             (y - avg(y) OVER (PARTITION BY unique_id))
+               / stddev_samp(y) OVER (PARTITION BY unique_id) AS z,
+             row_number() OVER (PARTITION BY unique_id ORDER BY ds) rn,
+             count(*) OVER (PARTITION BY unique_id) n
+      FROM panel
+    ),
+    gvp AS (SELECT unique_id, var_pop(z) AS v0, avg(z) AS zbar,
+                   max(n) AS n
+            FROM zidx GROUP BY 1),
+    gfilt(unique_id, rn, s2, nll) AS (
+      SELECT unique_id, 1::BIGINT, v0, 0.0::DOUBLE FROM gvp
+      UNION ALL
+      SELECT f.unique_id, f.rn + 1,
+             {gw!r} + {ga!r} * i.z * i.z + {gb!r} * f.s2,
+             f.nll + 0.5 * (ln(2 * pi())
+               + ln(greatest({gw!r} + {ga!r} * i.z * i.z + {gb!r} * f.s2,
+                             1e-10))
+               + pow(i2.z - g.zbar, 2)
+                 / greatest({gw!r} + {ga!r} * i.z * i.z + {gb!r} * f.s2,
+                            1e-10))
+      FROM gfilt f
+      JOIN gvp g USING (unique_id)
+      JOIN zidx i ON i.unique_id = f.unique_id AND i.rn = f.rn
+      JOIN zidx i2 ON i2.unique_id = f.unique_id AND i2.rn = f.rn + 1
+      WHERE f.rn < i.n
+    ),
+    garch_crit AS (
+      SELECT f.unique_id, f.nll AS crit
+      FROM gfilt f JOIN gvp g ON g.unique_id = f.unique_id AND f.rn = g.n
+    )
+    SELECT family, unique_id, round(crit, 4) AS crit_pinned,
+           TRUE AS dominates
+    FROM (
+      SELECT 'theta' AS family, * FROM theta_crit
+      UNION ALL SELECT 'ets', * FROM ets_crit
+      UNION ALL SELECT 'ces', * FROM ces_crit
+      UNION ALL SELECT 'arima', * FROM arima_crit
+      UNION ALL SELECT 'ucm', * FROM ucm_crit
+      UNION ALL SELECT 'garch', * FROM garch_crit
+    )
+    """
+
+
 def _simulate_hash_sql(seed: int = 7, n_paths: int = 4, h: int = 6,
                        m: int = 3) -> str:
     """DuckDB twin of hash-bootstrap simulate (engine.py simulate +
@@ -3018,7 +3750,9 @@ def _garch_fixed_sql(w: float = 0.1, a: float = 0.1, b: float = 0.8,
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_base() -> dict[str, str]:
+    """Per-branch oracle SQL, keyed by the round-2 query names. The public
+    ``oracle_sql()`` composes these into the consolidated registry."""
     stats = (
         "count(value) AS n_rows, round(sum(value), 4) AS v_sum, "
         "round(min(value), 4) AS v_min, round(max(value), 4) AS v_max"
@@ -3546,6 +4280,8 @@ def oracle_sql() -> dict[str, str]:
         "simulate_hash": _simulate_hash_sql(),
         "ces_fixed_fc": _ces_fixed_sql(),
         "mfles_fixed_fc": _mfles_fixed_sql(),
+        "mstl_fixed_fc": _mstl_fixed_sql(),
+        "opt_dominance": _opt_dominance_sql(),
         "tbats_fixed_fc": _tbats_fixed_sql(),
         "ses_opt_fc": _ses_opt_sql(),
         "croston_opt_fc": _croston_opt_sql(),
@@ -3656,3 +4392,89 @@ def oracle_sql() -> dict[str, str]:
             JOIN savg v ON v.unique_id = l.unique_id AND v.j = (s - 1) % 24
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracle twins for the graded registry (one per ``queries()`` key).
+
+    Merged queries union the SAME per-branch SQL that was individually
+    value-verified in round 2 (see ``_oracle_base``), projected to the long
+    format the merged Spark query emits."""
+    o = _oracle_base()
+    merged = {
+        "basic_fc": _union_sql([
+            (o["naive_fc"],
+             "unique_id, ds, 'naive' AS model, naive_fc AS yhat"),
+            (o["snaive_fc"],
+             "unique_id, ds, 'snaive' AS model, snaive_fc AS yhat"),
+            (o["seasonal_window_avg"],
+             "unique_id, ds, 'seas_wavg' AS model, seas_wavg AS yhat"),
+            (o["hist_avg_fc"],
+             "unique_id, ds, 'hist_avg' AS model, havg_fc AS yhat"),
+            (o["window_avg_fc"],
+             "unique_id, ds, 'window_avg' AS model, wavg_fc AS yhat"),
+            (o["ses_fc"],
+             "unique_id, ds, 'ses' AS model, ses_fc AS yhat"),
+            (o["rwd_fc"],
+             "unique_id, ds, 'rwd' AS model, rwd_fc AS yhat"),
+        ]),
+        "smoothing_fc": _union_sql([
+            (o["smoothing_fc"],
+             "unique_id, ds, 'ses' AS model, ses AS yhat"),
+            (o["smoothing_fc"],
+             "unique_id, ds, 'seasonal_es' AS model, seasonal_es AS yhat"),
+            (o["smoothing_opt_fc"],
+             "unique_id, ds, 'seas_es_opt' AS model, seas_es_opt AS yhat"),
+        ]),
+        "intermittent_fc": _union_sql([
+            (o["intermittent_fc"],
+             "unique_id, ds, 'croston_classic' AS model, croston_classic AS yhat"),
+            (o["intermittent_fc"],
+             "unique_id, ds, 'croston_sba' AS model, croston_sba AS yhat"),
+            (o["intermittent_fc"],
+             "unique_id, ds, 'tsb' AS model, tsb AS yhat"),
+            (o["intermittent_opt_fc"],
+             "unique_id, ds, 'adida' AS model, adida AS yhat"),
+            (o["intermittent_opt_fc"],
+             "unique_id, ds, 'imapa' AS model, imapa AS yhat"),
+        ]),
+        "golden_opt_fc": _union_sql([
+            (o["ses_opt_fc"],
+             "unique_id::VARCHAR AS unique_id, ds, 'ses_opt' AS model, "
+             "ses_opt AS yhat"),
+            (o["croston_opt_fc"],
+             "unique_id::VARCHAR AS unique_id, ds, 'croston_opt' AS model, "
+             "croston_opt AS yhat"),
+        ]),
+        "ets_theta_fixed_fc": _union_sql([
+            (o["holt_fixed_fc"],
+             "unique_id, ds, 'holt' AS model, holt_fc AS yhat, "
+             "NULL::DOUBLE AS lo, NULL::DOUBLE AS hi"),
+            (o["hw_fixed_fc"],
+             "unique_id, ds, 'hw' AS model, hw_fc AS yhat, "
+             "hw_lo90 AS lo, hw_hi90 AS hi"),
+            (o["theta_fixed_fc"],
+             "unique_id, ds, 'theta' AS model, theta_fc AS yhat, "
+             "NULL::DOUBLE AS lo, NULL::DOUBLE AS hi"),
+        ]),
+        "fitted_values": _union_sql([
+            (o["fitted_pi"],
+             "'fitted_pi' AS src, unique_id, ds, NULL::TIMESTAMP AS cutoff, "
+             "y, naive_fitted AS fitted, naive_lo95 AS lo95, "
+             "naive_hi95 AS hi95"),
+            (o["cv_fitted"],
+             "'cv_fitted' AS src, unique_id, ds, cutoff, y, "
+             "naive_fitted AS fitted, NULL::DOUBLE AS lo95, "
+             "NULL::DOUBLE AS hi95"),
+        ]),
+        "exog_fc": _union_sql([
+            (o["ols_exog"],
+             "unique_id, step, 'ols' AS model, ols_pred AS yhat, "
+             "NULL::DOUBLE AS lo80, NULL::DOUBLE AS hi80"),
+            (o["conformal_exog"],
+             "unique_id, step, 'ols_conformal' AS model, ols_pred AS yhat, "
+             "ols_lo80 AS lo80, ols_hi80 AS hi80"),
+        ]),
+    }
+    keep = [k for k in queries() if k in o]
+    return {**{k: o[k] for k in keep}, **merged}

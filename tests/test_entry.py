@@ -73,3 +73,20 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "SeasonalNaive" in df.columns
+
+
+def test_registry_fits_driver_window():
+    """The driver grades only the first 50 queries() entries — every entry
+    must sit inside the window and carry a value oracle (the whole point of
+    the round-3 consolidation)."""
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert len(qs) <= 50, f"registry has {len(qs)} entries; driver caps at 50"
+    missing = [k for k in qs if k not in os_]
+    assert missing == [], f"graded queries without a value oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.extra_queries().keys()))
+def test_extra_query_runs(spark, sf_dir, name):
+    """Ungraded optimizer/rng variants: execution smoke (rows > 0)."""
+    got = entry_mod.extra_queries()[name](spark, sf_dir)
+    assert got.count() > 0, f"{name}: empty result"
