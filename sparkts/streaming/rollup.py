@@ -95,3 +95,23 @@ def read_tier_stream_output(spark, out_path: str, key_cols: list[str]) -> DataFr
         .where(F.col("__rn") == 1)
         .drop("__rn", "__batch_id")
     )
+
+
+def stream_cascade(spark, out_path: str, key_cols: list[str],
+                   tiers: tuple[str, ...] = ("5m", "1h", "1d")) -> dict:
+    """Upgrade the streaming 1m sink to the FULL tier cascade: merge-on-read
+    the streamed 1m tier, then chain the batch cascade operator coarser tier
+    by coarser tier (5m from 1m, 1h from 5m, …) exactly like
+    ``build_tiers``. Because every tier statistic is decomposable, the
+    result is identical to a batch cascade over the same raw rows — the
+    streaming-equals-batch invariance extends to every tier, and a restart
+    of the 1m stream (checkpointed) transparently refreshes all of them."""
+    from sparkts.operators.rollup import rollup_cascade
+
+    base = read_tier_stream_output(spark, out_path, key_cols)
+    out = {"1m": base}
+    prev = base
+    for t in tiers:
+        prev = rollup_cascade(prev, key_cols, t)
+        out[t] = prev
+    return out

@@ -109,3 +109,51 @@ class TestStatefulAnomaly:
         # first phase-2 value
         lvl45 = both[both.ts == 45]["level"].iloc[0]
         assert abs(lvl45 - 10) < 1.5
+
+
+def test_stream_cascade_equals_batch_and_resumes(spark, events_dir,
+                                                 tmp_path_factory):
+    """Streaming 1m sink → 5m/1h/1d cascade == batch build_tiers on the
+    same rows; appending more source files and restarting from the SAME
+    checkpoint incrementally refreshes every tier (round-3 stretch:
+    streaming cascade + end-to-end restart)."""
+    from pyspark.sql import functions as F
+
+    from sparkts.operators import build_tiers
+    from sparkts.streaming import stream_cascade
+
+    out = str(tmp_path_factory.mktemp("casc_out"))
+    ckpt = str(tmp_path_factory.mktemp("casc_ckpt"))
+    full = spark.read.parquet(events_dir)
+    first = full.where(F.dayofmonth("ts") <= 15)
+    second = full.where(F.dayofmonth("ts") > 15)
+    src = str(tmp_path_factory.mktemp("casc_src"))
+    first.repartition(2).write.mode("overwrite").parquet(src)
+    schema = full.schema
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        tier = stream_rollup(stream, "ts", ["event_type"], "value",
+                             tier="1m", watermark="365 days")
+        q = write_tier_stream(tier, out, ckpt, available_now=True)
+        q.awaitTermination(180)
+
+    def compare(raw):
+        got = stream_cascade(spark, out, ["event_type"])
+        want = build_tiers(raw, "ts", ["event_type"], "value")
+        cols = ["event_type", "bucket", "n_rows", "v_sum", "v_min", "v_max"]
+        for t in ("1m", "5m", "1h", "1d"):
+            g = (got[t].select(cols).toPandas()
+                 .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+            b = (want[t].select(cols).toPandas()
+                 .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+            assert len(g) == len(b) and len(g) > 0, t
+            pd.testing.assert_frame_equal(g, b, check_exact=False, rtol=1e-12)
+
+    run_stream()
+    compare(first)
+    # late arrival: append the rest of the month, resume from the checkpoint
+    second.repartition(2).write.mode("append").parquet(src)
+    run_stream()
+    compare(full)
