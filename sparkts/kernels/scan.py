@@ -22,6 +22,36 @@ import numpy as np
 
 _GOLDEN = (np.sqrt(5.0) + 1.0) / 2.0
 _BLOCK = 64
+# exponent grid reused by every block (float64, same values np.arange(k,
+# dtype=float64) would produce — slicing a cached array is FP-identical and
+# saves one allocation per call; golden-section runs ~54 SSE evals per fit,
+# so per-call overhead is the optimizer's hot path)
+_ARANGE = np.arange(_BLOCK, dtype=np.float64)
+
+
+def _ses_levels(y: np.ndarray, alpha: float) -> np.ndarray:
+    """Level trajectory of the SES recurrence (shared core of ses_scan /
+    ses_sse). Bit-identical to the original block formula — the where()
+    guard on c^j == 0 only triggers at α == 1 (c = 0), so the common path
+    divides directly."""
+    n = y.size
+    c = 1.0 - alpha
+    levels = np.empty(n, dtype=np.float64)
+    l_prev = levels[0] = y[0]
+    start = 1
+    while start < n:
+        end = min(start + _BLOCK, n)
+        cpow = c ** _ARANGE[: end - start]                   # c^0..c^{k-1}
+        if cpow[-1] == 0.0:                                  # α == 1 edge
+            cinv = y[start:end] / np.where(cpow == 0, 1.0, cpow)
+        else:
+            cinv = y[start:end] / cpow                       # y_j · c^{-j}
+        t = np.cumsum(cinv)
+        blk = (c * cpow) * l_prev + alpha * cpow * t
+        levels[start:end] = blk
+        l_prev = blk[-1]
+        start = end
+    return levels
 
 
 def ses_scan(y: np.ndarray, alpha: float) -> tuple[np.ndarray, float]:
@@ -34,23 +64,7 @@ def ses_scan(y: np.ndarray, alpha: float) -> tuple[np.ndarray, float]:
     n = y.size
     if n == 0:
         return np.empty(0), np.nan
-    c = 1.0 - alpha
-    levels = np.empty(n, dtype=np.float64)
-    l_prev = y[0]
-    start = 0
-    # first element: l_0 = y_0 by convention
-    levels[0] = y[0]
-    start = 1
-    while start < n:
-        end = min(start + _BLOCK, n)
-        k = end - start
-        cpow = c ** np.arange(k, dtype=np.float64)          # c^0..c^{k-1}
-        cinv = y[start:end] / np.where(cpow == 0, 1.0, cpow)  # y_j * c^{-j}
-        t = np.cumsum(cinv)
-        blk = (c * cpow) * l_prev + alpha * cpow * t
-        levels[start:end] = blk
-        l_prev = blk[-1]
-        start = end
+    levels = _ses_levels(y, alpha)
     fitted = np.empty(n, dtype=np.float64)
     fitted[0] = np.nan
     fitted[1:] = levels[:-1]
@@ -58,9 +72,15 @@ def ses_scan(y: np.ndarray, alpha: float) -> tuple[np.ndarray, float]:
 
 
 def ses_sse(y: np.ndarray, alpha: float) -> float:
-    """Sum of squared one-step errors of the SES fit (optimizer objective)."""
-    fitted, _ = ses_scan(y, alpha)
-    e = y[1:] - fitted[1:]
+    """Sum of squared one-step errors of the SES fit (optimizer objective).
+
+    Skips the fitted-array materialization ses_scan does — e_t is computed
+    straight from the level trajectory (fitted[1:] ≡ levels[:-1] exactly)."""
+    y = np.asarray(y, dtype=np.float64)
+    if y.size == 0:
+        return 0.0
+    levels = _ses_levels(y, alpha)
+    e = y[1:] - levels[:-1]
     return float(np.dot(e, e))
 
 
