@@ -982,6 +982,22 @@ def q_ivf_ann(spark, sf_dir):
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the last LLM-pipeline operator
+    without a value oracle in r2): one 4-bit hyperplane-LSH bucketing pass,
+    bucket-local self-join, exact cosine ≥ 0.4 (the synthetic corpus has no
+    true near-dups — max cosine ≈ 0.5 — so the threshold sits at the
+    cluster-mate band; nearest value is 5e-4 away and the smallest
+    |plane·v| margin is 2.7e-4, both far above cross-engine FP noise).
+    DuckDB recomputes the plane signatures and the pair cosines exactly."""
+    from sparkts.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_cv_exog(spark, sf_dir):
     """Exogenous regressors threaded through cross_validation (reference
     core.py:294-300): per-series OLS of v_sum on n_rows backtested over 2
@@ -1665,6 +1681,36 @@ def q_opt_dominance(spark, sf_dir):
         pin = nll_exact(np.array([-1.0, -2.0]))
         chosen = nll_exact(model.fit_state(y)["params"])
         rows.append(dom_row("ucm", uid, pin, chosen))
+        # TBATS: AIC; pinned = the k=1 no-trend/no-boxcox twin (α=.1,
+        # γ=.05, l0 at its regression seed); chosen = the AutoTBATS
+        # variant search (its own find_harmonics ks, NM per variant)
+        from sparkts.kernels.tbats import AutoTBATS, tbats_fit
+
+        pin_fit = tbats_fit(y, [7], False, False, False,
+                            fixed={"alpha": 0.1, "g1_0": 0.05,
+                                   "g2_0": 0.05, "l0": "default"},
+                            harmonics=[1])
+        auto = AutoTBATS(season_length=7)
+        chosen = min(f["aic"] for f in
+                     (tbats_fit(y, [7], bc, tr, d, lam=0.0)
+                      for bc, tr, d in auto._variants(y))
+                     if f is not None and np.isfinite(f["aic"]))
+        rows.append(dom_row("tbats", uid, pin_fit["aic"], chosen))
+        # AutoARIMA (non-seasonal stepwise): the pinned candidate is the
+        # pure mean/drift model (0,d,0) at the KPSS-selected d — ALWAYS in
+        # the Hyndman-Khandakar initial set, so the stepwise winner's AICc
+        # must beat it; its CSS fit is closed form, so the oracle recomputes
+        # d (KPSS ladder) and the AICc without any optimizer
+        from sparkts.kernels.arima import arima_fit as _afit
+        from sparkts.kernels.arima import auto_arima, ndiffs
+
+        d = ndiffs(y, 2)
+        pin_fit = _afit(y, (0, d, 0), include_mean=(d <= 1))
+        # method='css' so chosen and pinned share the criterion (the css-ml
+        # refit's exact likelihood is a different scale from the CSS AICc
+        # the search ranks on — and from the pinned closed form)
+        chosen = auto_arima(y, m=1, method="css")["aicc"]
+        rows.append(dom_row("autoarima", uid, pin_fit["aicc"], chosen))
         return pd.DataFrame(rows)
 
     def garch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1761,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "emb_near_dup": q_emb_near_dup,
         "media_features": q_media_features,
         "compress_roundtrip": q_compress_roundtrip,
         # model kernels (closed-form / pinned twins / replayed optimizers)
@@ -2147,6 +2194,50 @@ def _ivf_ann_sql(sf_dir: str = _ORACLE_SF_DIR) -> str:
     ),
     cand AS (SELECT vec_id FROM asn WHERE j IN ({probes})),
     {_cosine_rerank_sql("cand")}
+    """
+
+
+def _emb_near_dup_sql(sf_dir: str = _ORACLE_SF_DIR, n_planes: int = 4,
+                      threshold: float = 0.4) -> str:
+    """DuckDB twin of q_emb_near_dup: recompute the 4 seeded hyperplane
+    signatures, join same-bucket id_a < id_b pairs, exact cosine filter."""
+    from sparkts.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_emb_dim(sf_dir), n_planes, 42)
+    plane_unnests = ",\n             ".join(
+        f"unnest({_vec_lit(p)}) AS p{i}" for i, p in enumerate(planes))
+    dot_aggs = ",\n             ".join(
+        f"sum(x * p{i}) AS d{i}" for i in range(n_planes))
+    key = " + ".join(f"(CASE WHEN d{i} >= 0 THEN {2**i} ELSE 0 END)"
+                     for i in range(n_planes))
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             {plane_unnests}
+      FROM embeddings
+    ),
+    dots AS (SELECT vec_id, {dot_aggs} FROM pr GROUP BY vec_id),
+    keys AS (SELECT vec_id, ({key}) AS bucket FROM dots),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pcs AS (
+      SELECT c.id_a, c.id_b,
+             unnest(va.embedding)::DOUBLE AS xa,
+             unnest(vb.embedding)::DOUBLE AS xb
+      FROM cand c
+      JOIN embeddings va ON va.vec_id = c.id_a
+      JOIN embeddings vb ON vb.vec_id = c.id_b
+    ),
+    sims AS (
+      SELECT id_a, id_b,
+             sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cs
+      FROM pcs GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(cs, 6) AS cos_sim
+    FROM sims WHERE cs >= {threshold!r}
     """
 
 
@@ -3182,6 +3273,8 @@ def _opt_dominance_sql() -> str:
                 f"p.s0 + {c3!r} * p.s1 + {c4!r} * (i.y - p.s0)")
     phi, th = 0.6, 0.3            # arima(1,1,1) pinned
     gw, ga, gb = 0.1, 0.1, 0.8    # garch pinned
+    tba, tbg = 0.1, 0.05          # tbats pinned alpha, gamma1=gamma2
+    tblam = "(2 * pi() / 7)"      # tbats harmonic frequency, m=7
     return f"""
     WITH RECURSIVE dpanel AS MATERIALIZED (
       SELECT event_type AS unique_id, date_trunc('day', ts) AS ds,
@@ -3340,6 +3433,120 @@ def _opt_dominance_sql() -> str:
       SELECT r.unique_id, -r.ll AS crit
       FROM urec r JOIN nn ON nn.unique_id = r.unique_id AND r.rn = nn.n
     ),
+    -- ===== AutoARIMA pinned AICc: the (0,d,0)+mean closed form at the
+    -- KPSS-ladder d — ν·(ln(2πσ²)+1) + 2k + 2k(k+1)/(ν−k−1), k = 2 =====
+    al0 AS MATERIALIZED (SELECT unique_id, rn, y AS v FROM idx),
+    al1 AS MATERIALIZED (
+      SELECT unique_id, rn - 1 AS rn,
+             v - lag(v) OVER (PARTITION BY unique_id ORDER BY rn) AS v
+      FROM al0 QUALIFY rn >= 2
+    ),
+    al2 AS MATERIALIZED (
+      SELECT unique_id, rn - 1 AS rn,
+             v - lag(v) OVER (PARTITION BY unique_id ORDER BY rn) AS v
+      FROM al1 QUALIFY rn >= 2
+    ),
+    {_kpss_ctes('ak0', 'al0')},
+    {_kpss_ctes('ak1', 'al1')},
+    ad AS (
+      SELECT s0.unique_id,
+             CASE WHEN s0.n < 10 OR s0.stat <= 0.463 THEN 0
+                  WHEN s1.n < 10 OR s1.stat <= 0.463 THEN 1
+                  ELSE 2 END AS d
+      FROM ak0_stat s0 JOIN ak1_stat s1 USING (unique_id)
+    ),
+    am0 AS (SELECT unique_id, avg(v) AS mu, count(*)::DOUBLE AS nu
+            FROM al0 GROUP BY 1),
+    am1 AS (SELECT unique_id, avg(v) AS mu, count(*)::DOUBLE AS nu
+            FROM al1 GROUP BY 1),
+    am2 AS (SELECT unique_id, avg(v) AS mu, count(*)::DOUBLE AS nu
+            FROM al2 GROUP BY 1),
+    ac0 AS (
+      SELECT a.unique_id,
+             m.nu * (ln(2 * pi() * (sum(pow(a.v - m.mu, 2)) / m.nu)) + 1)
+               + 4 + 12.0 / (m.nu - 3) AS crit
+      FROM al0 a JOIN am0 m USING (unique_id) GROUP BY a.unique_id, m.nu
+    ),
+    ac1 AS (
+      SELECT a.unique_id,
+             m.nu * (ln(2 * pi() * (sum(pow(a.v - m.mu, 2)) / m.nu)) + 1)
+               + 4 + 12.0 / (m.nu - 3) AS crit
+      FROM al1 a JOIN am1 m USING (unique_id) GROUP BY a.unique_id, m.nu
+    ),
+    ac2 AS (
+      SELECT a.unique_id,
+             m.nu * (ln(2 * pi() * (sum(pow(a.v - m.mu, 2)) / m.nu)) + 1)
+               + 4 + 12.0 / (m.nu - 3) AS crit
+      FROM al2 a JOIN am2 m USING (unique_id) GROUP BY a.unique_id, m.nu
+    ),
+    autoarima_crit AS (
+      SELECT d.unique_id,
+             CASE d.d WHEN 0 THEN c0.crit WHEN 1 THEN c1.crit
+                      ELSE c2.crit END AS crit
+      FROM ad d
+      JOIN ac0 c0 USING (unique_id)
+      JOIN ac1 c1 USING (unique_id)
+      JOIN ac2 c2 USING (unique_id)
+    ),
+    -- ===== TBATS pinned AIC: n·ln Σe² + 2·5 (k=1 trig recursion, the
+    -- same chain _tbats_fixed_sql replays; seeds = OLS line + 2×2 harmonic
+    -- normal equations) =====
+    tbi AS MATERIALIZED (
+      SELECT unique_id, y, rn, rn - 1 AS t, n FROM idx
+    ),
+    tblin AS (
+      SELECT unique_id, max(n) AS n,
+             (max(n) * sum(t * y) - sum(t) * sum(y))
+               / (max(n) * sum(t * t) - sum(t) * sum(t)) AS slope
+      FROM tbi GROUP BY unique_id
+    ),
+    tblin2 AS (
+      SELECT l.unique_id, l.n, l.slope,
+             (sum(i.y) - l.slope * sum(i.t)) / l.n AS icept
+      FROM tblin l JOIN tbi i USING (unique_id)
+      GROUP BY l.unique_id, l.n, l.slope
+    ),
+    tbharm AS (
+      SELECT i.unique_id,
+             sum(cos({tblam} * i.t) * cos({tblam} * i.t)) AS scc,
+             sum(cos({tblam} * i.t) * sin({tblam} * i.t)) AS scs,
+             sum(sin({tblam} * i.t) * sin({tblam} * i.t)) AS sss,
+             sum(cos({tblam} * i.t) * (i.y - (l.icept + l.slope * i.t))) AS scd,
+             sum(sin({tblam} * i.t) * (i.y - (l.icept + l.slope * i.t))) AS ssd
+      FROM tbi i JOIN tblin2 l USING (unique_id)
+      GROUP BY i.unique_id
+    ),
+    tbseeds AS (
+      SELECT l.unique_id, l.n, l.icept AS l0,
+             (h.scd * h.sss - h.scs * h.ssd)
+               / (h.scc * h.sss - h.scs * h.scs) AS s10,
+             (h.scc * h.ssd - h.scs * h.scd)
+               / (h.scc * h.sss - h.scs * h.scs) AS s20
+      FROM tblin2 l JOIN tbharm h USING (unique_id)
+    ),
+    tbrec(unique_id, rn, l, s1, s2, sse) AS (
+      SELECT sd.unique_id, 1::BIGINT,
+             sd.l0 + {tba!r} * (i.y - (sd.l0 + sd.s10)),
+             sd.s10 * cos({tblam}) + sd.s20 * sin({tblam})
+               + {tbg!r} * (i.y - (sd.l0 + sd.s10)),
+             -sd.s10 * sin({tblam}) + sd.s20 * cos({tblam})
+               + {tbg!r} * (i.y - (sd.l0 + sd.s10)),
+             pow(i.y - (sd.l0 + sd.s10), 2)
+      FROM tbseeds sd JOIN tbi i ON i.unique_id = sd.unique_id AND i.rn = 1
+      UNION ALL
+      SELECT r.unique_id, r.rn + 1,
+             r.l + {tba!r} * (i.y - (r.l + r.s1)),
+             r.s1 * cos({tblam}) + r.s2 * sin({tblam})
+               + {tbg!r} * (i.y - (r.l + r.s1)),
+             -r.s1 * sin({tblam}) + r.s2 * cos({tblam})
+               + {tbg!r} * (i.y - (r.l + r.s1)),
+             r.sse + pow(i.y - (r.l + r.s1), 2)
+      FROM tbrec r JOIN tbi i ON i.unique_id = r.unique_id AND i.rn = r.rn + 1
+    ),
+    tbats_crit AS (
+      SELECT r.unique_id, nn.n * ln(r.sse) + 10.0 AS crit
+      FROM tbrec r JOIN nn ON nn.unique_id = r.unique_id AND r.rn = nn.n
+    ),
     -- ===== GARCH(1,1) pinned nll on the standardized hourly panel =====
     {_PANEL_CTE.strip().lstrip()},
     zidx AS MATERIALIZED (
@@ -3382,6 +3589,8 @@ def _opt_dominance_sql() -> str:
       UNION ALL SELECT 'ces', * FROM ces_crit
       UNION ALL SELECT 'arima', * FROM arima_crit
       UNION ALL SELECT 'ucm', * FROM ucm_crit
+      UNION ALL SELECT 'tbats', * FROM tbats_crit
+      UNION ALL SELECT 'autoarima', * FROM autoarima_crit
       UNION ALL SELECT 'garch', * FROM garch_crit
     )
     """
@@ -4306,6 +4515,7 @@ def _oracle_base() -> dict[str, str]:
         "simhash_pairs": _simhash_sql(),
         "lsh_ann": _lsh_ann_sql(_oracle_sf_dir()),
         "ivf_ann": _ivf_ann_sql(_oracle_sf_dir()),
+        "emb_near_dup": _emb_near_dup_sql(_oracle_sf_dir()),
         "dedup_clusters": f"""
             WITH RECURSIVE {_minhash_ctes()},
             edges AS (

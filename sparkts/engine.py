@@ -574,7 +574,11 @@ class SparkForecast:
             df.schema[id_col], df.schema[time_col], target_col, models, level
         )
         cols = [id_col, time_col, "cutoff", target_col] + model_columns(models, level)
-        keep_exog = exog_cols if uses_exog else []
+        # optional_exog models (ARIMA xreg) consume the panel's regressors
+        # when present, but never require them
+        wants_exog = uses_exog or any(
+            getattr(m, "optional_exog", False) for m in models)
+        keep_exog = exog_cols if wants_exog else []
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(time_col)
@@ -617,12 +621,15 @@ class SparkForecast:
                     out = {}
                     for m in models:
                         alias = repr(m)
+                        takes_x = Xall is not None and (
+                            m.uses_exog
+                            or getattr(m, "optional_exog", False))
                         kw = ({"X": X_train, "X_future": X_fut}
-                              if m.uses_exog else {})
+                              if takes_x else {})
                         try:
                             if do_fit or alias not in states:
                                 states[alias] = (m.fit_state(y_train, X=X_train)
-                                                 if m.uses_exog
+                                                 if takes_x
                                                  else m.fit_state(y_train))
                             res = m.forward(states[alias], y_train, h,
                                             level=level, fitted=False, **kw)

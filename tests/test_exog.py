@@ -342,3 +342,22 @@ class TestRegressorSurface:
             df, h=2, X_df=X_df).toPandas()
         # beta ≈ (1, 3, −2) → prediction ≈ 1 + 3 + 2 = 6
         assert abs(out["Ridge"].iloc[0] - 6.0) < 0.5
+
+    def test_cv_arima_exog_refit_modes(self, spark):
+        """cv threads the panel's regressors into ARIMA-xreg in BOTH refit
+        modes; refit=False re-applies the stored beta+coefs via forward."""
+        from sparkts.kernels import ARIMA
+
+        y, X = TestArimaExog()._series(90)
+        rows = [("a", t, float(y[t]), float(X[t, 0])) for t in range(90)]
+        df = spark.createDataFrame(
+            rows, "unique_id string, ds long, y double, x double")
+        sf = SparkForecast([ARIMA((1, 0, 0), include_mean=False)], freq=1)
+        for refit in (True, False):
+            out = sf.cross_validation(
+                df, h=5, n_windows=2, step_size=5, refit=refit).toPandas()
+            assert len(out) == 10
+            # with beta ≈ (5, 2) and x ~ N(10, 2), predictions track y's
+            # level (~25), far from the ~0 an exog-blind ARIMA(1,0,0)
+            # without mean would decay to
+            assert np.all(np.abs(out["ARIMA"] - y.mean()) < 12), refit
