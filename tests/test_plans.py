@@ -143,3 +143,22 @@ class TestTopKPlans:
         # the only Window node sits above the limit — its input is ≤ k rows
         assert p.index("TakeOrderedAndProject") > p.index("Window")
         assert len(out.collect()) == 10
+
+
+class TestNearDupPlan:
+    """embedding_near_dup_pairs must bucket-join (equi-join on the LSH
+    signature), never a cartesian/broadcast-nested-loop over the corpus —
+    the property that keeps it O(pairs-in-bucket) at 100 TB."""
+
+    def test_bucket_equi_join(self, spark):
+        import numpy as np
+        from sparkts.operators.similarity import embedding_near_dup_pairs
+        rng = np.random.default_rng(0)
+        rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(64)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_near_dup_pairs(emb, threshold=0.5, n_planes=4)
+        p = plan_of(out)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        # the pair join keys on the bucket signature
+        assert "bucket" in p
