@@ -491,3 +491,35 @@ class TestTBATS:
         r = AutoTBATS(1, use_boxcox=False).forecast(y, 4)
         expect = 5.0 + 2.0 * np.arange(80, 84)
         np.testing.assert_allclose(r["mean"], expect, rtol=0.05)
+
+
+class TestAutoMFLESGolden:
+    """Pin the AutoMFLES config search end-to-end (the one optimizer family
+    with no opt_dominance leg — its grid configs all route through the
+    lasso coordinate-descent round, which is not SQL-replayable). Golden
+    values computed once from the deterministic search; any change to the
+    grid, the cv scorer, or the boosting rounds shows up here."""
+
+    def _y(self):
+        rng = np.random.default_rng(7)
+        t = np.arange(90)
+        return 40 + 0.2 * t + 6 * np.sin(2 * np.pi * t / 7) + rng.normal(0, 1.5, 90)
+
+    def test_seasonal_grid_golden(self):
+        from sparkts.kernels import AutoMFLES
+
+        res = AutoMFLES(season_length=7).forecast(self._y(), 7)
+        np.testing.assert_allclose(
+            res["mean"],
+            [52.752453, 59.100597, 64.290073, 66.586529, 62.326745,
+             57.14175, 52.582902],
+            atol=1e-5)
+
+    def test_nonseasonal_grid_golden(self):
+        from sparkts.kernels import AutoMFLES
+
+        res = AutoMFLES(season_length=None).forecast(self._y(), 5)
+        np.testing.assert_allclose(
+            res["mean"],
+            [57.650031, 57.764213, 57.878394, 57.992575, 58.106757],
+            atol=1e-5)
