@@ -1711,6 +1711,20 @@ def q_opt_dominance(spark, sf_dir):
         # the search ranks on — and from the pinned closed form)
         chosen = auto_arima(y, m=1, method="css")["aicc"]
         rows.append(dom_row("autoarima", uid, pin_fit["aicc"], chosen))
+        # Seasonal AutoARIMA (m=7): additionally verifies the nsdiffs
+        # STL-seasonal-strength gate — the oracle replays the full STL
+        # chain (t_window=15 for stl's seasonal=7 default), the strength
+        # ratio, the KPSS ladder on the D-differenced series, and the
+        # (0,d,0)(0,D,0)+mean closed-form AICc
+        from sparkts.kernels.arima import nsdiffs
+
+        D = nsdiffs(y, 7)
+        yd = (y[7:] - y[:-7]) if D else y
+        ds_ = ndiffs(yd, 2)
+        pin_fit = _afit(y, (0, ds_, 0), (0, D, 0), 7,
+                        include_mean=(ds_ + D <= 1))
+        chosen = auto_arima(y, m=7, method="css")["aicc"]
+        rows.append(dom_row("sautoarima", uid, pin_fit["aicc"], chosen))
         return pd.DataFrame(rows)
 
     def garch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3488,6 +3502,106 @@ def _opt_dominance_sql() -> str:
       JOIN ac1 c1 USING (unique_id)
       JOIN ac2 c2 USING (unique_id)
     ),
+    -- ===== Seasonal AutoARIMA pinned AICc: nsdiffs via the STL
+    -- seasonal-strength gate (full loess STL chain, stl(y,7) defaults →
+    -- t_window 15), then the KPSS ladder on the D-differenced series, then
+    -- the (0,d,0)(0,D,0)+mean closed form =====
+    ns_base AS MATERIALIZED (
+      SELECT unique_id, rn - 1 AS i, y, n FROM idx
+    ),
+    nsit1_detr AS MATERIALIZED (
+      SELECT unique_id, i, y AS v, n FROM ns_base
+    ),
+    {_stl_iter_ctes("nsit1", "nsit1_detr", 7)},
+    nsit1_dt AS MATERIALIZED (
+      SELECT b.unique_id, b.i, b.y - s.v AS v, b.n
+      FROM ns_base b JOIN nsit1_seas s
+        ON s.unique_id = b.unique_id AND s.i = b.i
+    ),
+    {_loess_ctes("nsit1_trend", "nsit1_dt", "v", 15)},
+    nsit2_detr AS MATERIALIZED (
+      SELECT b.unique_id, b.i, b.y - t.v AS v, b.n
+      FROM ns_base b JOIN nsit1_trend t
+        ON t.unique_id = b.unique_id AND t.i = b.i
+    ),
+    {_stl_iter_ctes("nsit2", "nsit2_detr", 7)},
+    nsit2_dt AS MATERIALIZED (
+      SELECT b.unique_id, b.i, b.y - s.v AS v, b.n
+      FROM ns_base b JOIN nsit2_seas s
+        ON s.unique_id = b.unique_id AND s.i = b.i
+    ),
+    {_loess_ctes("nsit2_trend", "nsit2_dt", "v", 15)},
+    nsstr AS (  -- strength = max(0, 1 − var(rem)/var(seas+rem)); D ladder
+      SELECT b.unique_id, max(b.n) AS n,
+             CASE WHEN max(b.n) >= 21 AND var_pop(b.y - s.v - t.v) <
+                    0.36 * var_pop(b.y - t.v)  -- 1 − rem/denom > 0.64
+                  THEN 1 ELSE 0 END AS D
+      FROM ns_base b
+      JOIN nsit2_seas s ON s.unique_id = b.unique_id AND s.i = b.i
+      JOIN nsit2_trend t ON t.unique_id = b.unique_id AND t.i = b.i
+      GROUP BY b.unique_id
+    ),
+    szd AS MATERIALIZED (  -- D-differenced (or raw) series, re-keyed rn
+      SELECT i.unique_id,
+             CASE WHEN sd.D = 1 THEN i.rn - 7 ELSE i.rn END AS rn,
+             CASE WHEN sd.D = 1 THEN i.y - lg.y ELSE i.y END AS v
+      FROM idx i
+      JOIN nsstr sd USING (unique_id)
+      LEFT JOIN idx lg ON lg.unique_id = i.unique_id AND lg.rn = i.rn - 7
+      WHERE sd.D = 0 OR i.rn >= 8
+    ),
+    szd1 AS MATERIALIZED (
+      SELECT unique_id, rn - 1 AS rn,
+             v - lag(v) OVER (PARTITION BY unique_id ORDER BY rn) AS v
+      FROM szd QUALIFY rn >= 2
+    ),
+    szd2 AS MATERIALIZED (
+      SELECT unique_id, rn - 1 AS rn,
+             v - lag(v) OVER (PARTITION BY unique_id ORDER BY rn) AS v
+      FROM szd1 QUALIFY rn >= 2
+    ),
+    {_kpss_ctes('sk0', 'szd')},
+    {_kpss_ctes('sk1', 'szd1')},
+    sad AS (
+      SELECT s0.unique_id,
+             CASE WHEN s0.n < 10 OR s0.stat <= 0.463 THEN 0
+                  WHEN s1.n < 10 OR s1.stat <= 0.463 THEN 1
+                  ELSE 2 END AS d
+      FROM sk0_stat s0 JOIN sk1_stat s1 USING (unique_id)
+    ),
+    sam0 AS (SELECT unique_id, avg(v) AS mu, count(*)::DOUBLE AS nu
+             FROM szd GROUP BY 1),
+    sam1 AS (SELECT unique_id, avg(v) AS mu, count(*)::DOUBLE AS nu
+             FROM szd1 GROUP BY 1),
+    sam2 AS (SELECT unique_id, avg(v) AS mu, count(*)::DOUBLE AS nu
+             FROM szd2 GROUP BY 1),
+    sac0 AS (
+      SELECT a.unique_id,
+             m.nu * (ln(2 * pi() * (sum(pow(a.v - m.mu, 2)) / m.nu)) + 1)
+               + 4 + 12.0 / (m.nu - 3) AS crit
+      FROM szd a JOIN sam0 m USING (unique_id) GROUP BY a.unique_id, m.nu
+    ),
+    sac1 AS (
+      SELECT a.unique_id,
+             m.nu * (ln(2 * pi() * (sum(pow(a.v - m.mu, 2)) / m.nu)) + 1)
+               + 4 + 12.0 / (m.nu - 3) AS crit
+      FROM szd1 a JOIN sam1 m USING (unique_id) GROUP BY a.unique_id, m.nu
+    ),
+    sac2 AS (
+      SELECT a.unique_id,
+             m.nu * (ln(2 * pi() * (sum(pow(a.v - m.mu, 2)) / m.nu)) + 1)
+               + 4 + 12.0 / (m.nu - 3) AS crit
+      FROM szd2 a JOIN sam2 m USING (unique_id) GROUP BY a.unique_id, m.nu
+    ),
+    sautoarima_crit AS (
+      SELECT d.unique_id,
+             CASE d.d WHEN 0 THEN c0.crit WHEN 1 THEN c1.crit
+                      ELSE c2.crit END AS crit
+      FROM sad d
+      JOIN sac0 c0 USING (unique_id)
+      JOIN sac1 c1 USING (unique_id)
+      JOIN sac2 c2 USING (unique_id)
+    ),
     -- ===== TBATS pinned AIC: n·ln Σe² + 2·5 (k=1 trig recursion, the
     -- same chain _tbats_fixed_sql replays; seeds = OLS line + 2×2 harmonic
     -- normal equations) =====
@@ -3591,6 +3705,7 @@ def _opt_dominance_sql() -> str:
       UNION ALL SELECT 'ucm', * FROM ucm_crit
       UNION ALL SELECT 'tbats', * FROM tbats_crit
       UNION ALL SELECT 'autoarima', * FROM autoarima_crit
+      UNION ALL SELECT 'sautoarima', * FROM sautoarima_crit
       UNION ALL SELECT 'garch', * FROM garch_crit
     )
     """
