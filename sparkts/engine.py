@@ -280,7 +280,12 @@ class SparkForecast:
                     state = {"__fallback__": True}
                 blob = {"state": state, "y": y}
                 if takes_x:
+                    # persist the regressor NAMES with the matrix so predict
+                    # can validate/reorder its X_df against the fit-time
+                    # column order (a permuted X_df must never silently
+                    # apply beta to the wrong columns)
                     blob["X"] = X
+                    blob["xcols"] = list(exog_cols)
                 rows.append((uid, repr(m), pickle.dumps(blob), last,
                              int(y.size)))
             return pd.DataFrame(rows,
@@ -321,8 +326,13 @@ class SparkForecast:
         cols = [id_col, time_col] + model_columns(models, level)
         exog_cols = ([c for c in X_df.columns if c not in (id_col, time_col)]
                      if X_df is not None else [])
+        timers, fb_counts = self._metrics(states)
 
-        def predict_rows(pdf: pd.DataFrame, future, Xf) -> pd.DataFrame:
+        def predict_rows(pdf: pd.DataFrame, future, xf_pdf) -> pd.DataFrame:
+            if pdf.empty:
+                raise ValueError(
+                    "X_df contains a series with no stored state rows; fit "
+                    "must cover every id predict is asked for")
             uid = pdf[id_col].iloc[0]
             data = {id_col: np.repeat(uid, h), time_col: np.asarray(future)}
             seen = set()
@@ -336,9 +346,27 @@ class SparkForecast:
                 y = blob["y"]
                 state = blob["state"]
                 kw = {}
-                if Xf is not None and (m.uses_exog
-                                       or getattr(m, "optional_exog", False)):
-                    kw = {"X": blob.get("X"), "X_future": Xf}
+                takes_x = m.uses_exog or getattr(m, "optional_exog", False)
+                if "xcols" in blob and takes_x:
+                    # state was fitted WITH regressors: X_df is mandatory and
+                    # must carry the same columns (any order); reorder to the
+                    # fit-time order so beta applies to the right columns
+                    want = blob["xcols"]
+                    if xf_pdf is None:
+                        raise ValueError(
+                            f"series {uid!r}: {alias} was fit with exog "
+                            f"columns {want}; predict needs X_df")
+                    missing = [c for c in want if c not in xf_pdf.columns]
+                    if missing:
+                        raise ValueError(
+                            f"series {uid!r}: X_df is missing exog columns "
+                            f"{missing} that {alias} was fit with")
+                    kw = {"X": blob["X"],
+                          "X_future": xf_pdf[want].to_numpy(dtype=np.float64)}
+                elif xf_pdf is not None and takes_x:
+                    kw = {"X": blob.get("X"),
+                          "X_future":
+                              xf_pdf[exog_cols].to_numpy(dtype=np.float64)}
                 try:
                     if isinstance(state, dict) and state.get("__fallback__"):
                         raise ValueError("fallback state")
@@ -349,6 +377,7 @@ class SparkForecast:
                     if fallback is None:
                         raise
                     res = fallback.forecast(y, h, level=level)
+                    fb_counts[alias].add(1)
                 data[alias] = np.asarray(res["mean"], dtype=np.float64)
                 for lv in sorted(level or []):
                     data[f"{alias}-lo-{lv}"] = np.asarray(res[f"lo-{lv}"])
@@ -372,12 +401,14 @@ class SparkForecast:
 
         def cokernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             right = right.sort_values(time_col)
+            if left.empty:
+                raise ValueError(
+                    f"series {key[0]!r}: X_df rows but no stored state rows")
             if len(right) != h:
                 raise ValueError(
                     f"series {key[0]!r}: X_df has {len(right)} rows, "
                     f"expected h={h}")
-            Xf = right[exog_cols].to_numpy(dtype=np.float64)
-            return predict_rows(left, right[time_col].to_numpy(), Xf)
+            return predict_rows(left, right[time_col].to_numpy(), right)
 
         return (
             _kernel_partitioned(states, id_col)

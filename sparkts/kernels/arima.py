@@ -853,9 +853,10 @@ def arima_forward(state: dict, y: np.ndarray) -> dict:
 
 
 def _exog_design(X: np.ndarray) -> np.ndarray:
-    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
-    if X.ndim == 2 and X.shape[0] == 1 and X.size > X.shape[1]:
-        X = X.T
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        # a 1-D regressor vector of length n is one column, not one row
+        X = X[:, None]
     return np.hstack([np.ones((X.shape[0], 1)), X])
 
 

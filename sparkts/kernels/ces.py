@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from sparkts.kernels.base import Model
+from sparkts.kernels.base import Model, add_intervals
 from sparkts.kernels.optim import nelder_mead
 
 _N, _S, _P, _F = 0, 1, 2, 3
@@ -292,8 +292,8 @@ class AutoCES(Model):
         #: pinned smoothing parameters (alpha_0 / alpha_1 / beta_0 / beta_1)
         self.fixed_params = dict(fixed_params) if fixed_params else None
 
-    def _forecast(self, y, h, fitted):
-        fit = auto_ces(y, self.m, self.model, fixed=self.fixed_params)
+    @staticmethod
+    def _fc_from_fit(fit, h):
         a0, a1, b0, b1 = fit["params"]
         buf, m_eff, season = fit["states"], fit["m"], fit["season"]
         n = fit["n"]
@@ -309,3 +309,36 @@ class AutoCES(Model):
                                     a0, a1, b0, b1, noise=noise)
         sigmah = paths.std(axis=0)
         return mean, sigmah, fit["fitted"]
+
+    def _forecast(self, y, h, fitted):
+        fit = auto_ces(y, self.m, self.model, fixed=self.fixed_params)
+        return self._fc_from_fit(fit, h)
+
+    # ---- forward contract (reference forward_ces, ces.py:492-508) --------
+    _PARAM_NAMES = ("alpha_0", "alpha_1", "beta_0", "beta_1")
+
+    def fit_state(self, y, X=None):
+        """Reusable state: the SELECTED season type + its optimized
+        smoothing parameters (only the ones that season type has)."""
+        fit = auto_ces(np.asarray(y, dtype=np.float64), self.m, self.model,
+                       fixed=self.fixed_params)
+        nfree = {"N": 2, "S": 2, "P": 3, "F": 4}[fit["seasontype"]]
+        vals = dict(zip(self._PARAM_NAMES, fit["params"]))
+        return {"seasontype": fit["seasontype"],
+                "fixed": {nm: vals[nm] for nm in self._PARAM_NAMES[:nfree]}}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        """Re-run the CES backfit filter on the new data with the fitted
+        season type and smoothing parameters pinned (reference forward_ces,
+        ces.py:492-508): initial states re-derived from the new series,
+        zero optimizer calls."""
+        fit = auto_ces(np.asarray(y, dtype=np.float64), self.m,
+                       model=state["seasontype"], fixed=state["fixed"])
+        mean, sigmah, fitted_vals = self._fc_from_fit(fit, h)
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = fitted_vals
+        if level:
+            add_intervals(res, sigmah, level)
+        return res

@@ -150,6 +150,18 @@ class ConformalSeasonalPool(Model):
                 res[f"hi-{lv}"] = np.quantile(samples, 1 - (100 - lv) / 200.0, axis=0)
         return res
 
+    # ---- forward contract: in the reference, CSP.forward IS forecast
+    # (models.py:4469-4495 delegates to self.forecast verbatim) — the
+    # calibration pool is derived from whatever data forward receives, by
+    # design. Made explicit here (not inherited silently) so the semantics
+    # are documented and regression-tested (tests/test_refit.py).
+    def fit_state(self, y, X=None):
+        return None
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        return self.forecast(y, h, level=level, fitted=fitted)
+
     def simulate(self, y, h, n_paths=100, seed=0, error_dist="normal"):
         y = np.asarray(y, dtype=np.float64)
         mu = np.asarray(SeasonalNaive(self.m).forecast(y, h)["mean"], dtype=np.float64)

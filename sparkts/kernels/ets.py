@@ -296,6 +296,12 @@ def _fit_one(y, m, error, trend, season, damped, maxiter=600, fixed=None,
         "error": error, "trend": trend, "season": season, "damped": damped,
         "alpha": a, "beta": b_, "gamma": g, "phi": ph,
         "l": lf, "b": bf, "s": sf, "m": m,
+        # the (optimized) INITIAL states — forward re-applies these to new
+        # data, like the reference's forward_ets → pegelsresid_C with
+        # init_state from the fitted model (ets.py:908-928)
+        "l0": float(l_), "b0": float(bb),
+        "s0": (np.asarray(ss, dtype=np.float64).copy()
+               if ss is not None else None),
         "fitted": f, "lik": lik, "aic": aic, "aicc": aicc, "bic": bic,
         "mse": mse, "sigma2": float(np.sum(resid**2) / max(n - npars + 1, 1)),
     }
@@ -510,10 +516,17 @@ class AutoETS(Model):
     def forward(self, state, y, h, level=None, fitted=False):
         y = np.asarray(y, dtype=np.float64)
         m = state["m"]
-        # re-run the recursion with FIXED params from the stored fit; the
-        # stored fit's initial states are re-derived from the new series
-        # head (same heuristic, no re-optimization)
-        l0, b0, s0 = _init_state(y, m, state["trend"], state["season"])
+        # re-run the recursion with FIXED params from the stored fit,
+        # starting from the stored (optimized) INITIAL states — the
+        # reference's forward_ets does exactly this (ets.py:908-928,
+        # init_state = model['par'][4:]). Re-deriving initial states
+        # heuristically instead is wrong when α≈0: the level never
+        # converges away from its start value.
+        if "l0" in state:
+            l0, b0 = state["l0"], state["b0"]
+            s0 = state["s0"]
+        else:  # states pickled by a pre-l0 fit blob
+            l0, b0, s0 = _init_state(y, m, state["trend"], state["season"])
         f, lf, bf, sf = _etscalc(
             y, l0, b0, s0, m, state["trend"], state["season"],
             state["alpha"], state["beta"], state["gamma"], state["phi"])

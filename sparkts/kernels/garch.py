@@ -137,6 +137,27 @@ class GARCH(Model):
         sigmah = np.sqrt(np.maximum(fc["sigma2"], 0.0))
         return fc["mean"], sigmah, fc["fitted"] if fitted else None
 
+    # ---- forward contract: the MLE coefficients are the tuned state; the
+    # reference has no GARCH forward (cv refit=False raises there) — here
+    # forward re-runs the deterministic σ² filter on the new data with the
+    # fitted (w, α, β) pinned, which is the standard GARCH re-application.
+    def fit_state(self, y, X=None):
+        mod = garch_fit(np.asarray(y, dtype=np.float64), self.p, self.q,
+                        fixed_coeff=self.fixed_coeff)
+        return {"coeff": np.asarray(mod["coeff"], dtype=np.float64)}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        mod = garch_fit(np.asarray(y, dtype=np.float64), self.p, self.q,
+                        fixed_coeff=state["coeff"])
+        fc = garch_forecast(mod, h)
+        res = {"mean": fc["mean"]}
+        if fitted:
+            res["fitted"] = fc["fitted"]
+        if level:
+            add_intervals(res, np.sqrt(np.maximum(fc["sigma2"], 0.0)), level)
+        return res
+
 
 class ARCH(GARCH):
     """ARCH(p) = GARCH(p,0) (reference models.py:6721)."""

@@ -19,6 +19,7 @@ from sparkts.kernels.scan import (
     demand,
     expand_fitted_demand,
     expand_fitted_intervals,
+    golden_section_ses,
     inter_demand_intervals,
     nonzero_probability,
     optimized_ses,
@@ -77,6 +78,34 @@ class CrostonOptimized(CrostonClassic):
         _, pi_, _ = optimized_ses(yi)
         return None, pd_, None, pi_
 
+    # ---- forward contract: the two golden-section α's are the tuned
+    # state; forward re-runs the SES scans on the new demand/interval
+    # series with them pinned (no search — the CrostonClassic path with
+    # per-component α's).
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        yd = demand(y)
+        if yd.size == 0:
+            return {"empty": True}
+        yi = inter_demand_intervals(y)
+        return {"alpha_d": golden_section_ses(yd, 0.1, 0.3),
+                "alpha_i": golden_section_ses(yi, 0.1, 0.3)}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        if level:
+            raise ValueError(
+                f"{self.alias} has no native prediction intervals")
+        y = np.asarray(y, dtype=np.float64)
+        yd = demand(y)
+        if state.get("empty") or yd.size == 0:
+            return self.forecast(y, h, fitted=fitted)
+        yi = inter_demand_intervals(y)
+        _, pd_ = ses_scan(yd, state["alpha_d"])
+        _, pi_ = ses_scan(yi, state["alpha_i"])
+        mean_val = pd_ / pi_ if pi_ != 0.0 else pd_
+        return {"mean": np.full(h, mean_val)}
+
 
 class CrostonSBA(CrostonClassic):
     """Classic × 0.95 bias correction (models.py:5395-5404)."""
@@ -103,6 +132,43 @@ class ADIDA(Model):
         fcst = chunk_forecast(y, agg) / agg
         return np.full(h, fcst), None, None
 
+    # ---- forward contract: the aggregation level + the golden-section α
+    # on the chunk sums are the tuned state; forward re-chunks the new
+    # series at the pinned level and re-runs the SES scan with the pinned α.
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        if np.all(y == 0):
+            return {"zero": True}
+        agg = max(round(float(inter_demand_intervals(y).mean())), 1)
+        sums = chunk_sums(y[y.size % agg:], agg)
+        alpha = (golden_section_ses(sums, 0.1, 0.3)
+                 if sums.size > 1 else None)
+        return {"agg": agg, "alpha": alpha}
+
+    @staticmethod
+    def _pinned_chunk_forecast(y, agg, alpha):
+        """chunk_forecast with a pinned α (degenerate paths identical)."""
+        y_cut = y[y.size % agg:]
+        if y_cut.size < agg:
+            return float(y[-1])
+        sums = chunk_sums(y_cut, agg)
+        if sums.size <= 1 or alpha is None:
+            return float(sums[0]) if sums.size else float(y[-1])
+        return ses_scan(sums, alpha)[1]
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        if level:
+            raise ValueError(
+                f"{self.alias} has no native prediction intervals")
+        y = np.asarray(y, dtype=np.float64)
+        if state.get("zero") or np.all(y == 0):
+            mean, _, _ = _all_zero_result(y, h)
+            return {"mean": mean}
+        agg = state["agg"]
+        fcst = self._pinned_chunk_forecast(y, agg, state["alpha"]) / agg
+        return {"mean": np.full(h, fcst)}
+
 
 class IMAPA(Model):
     """Average of optimized-SES forecasts at every aggregation level
@@ -124,6 +190,36 @@ class IMAPA(Model):
                 _, f, _ = optimized_ses(sums)
             fcsts[agg - 1] = f / agg
         return np.full(h, float(fcsts.mean())), None, None
+
+    # ---- forward contract: the per-level golden-section α's (and the
+    # max aggregation level) are the tuned state.
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        if np.all(y == 0):
+            return {"zero": True}
+        max_agg = max(round(float(inter_demand_intervals(y).mean())), 1)
+        alphas = []
+        for agg in range(1, max_agg + 1):
+            sums = chunk_sums(y[y.size % agg:], agg)
+            alphas.append(golden_section_ses(sums, 0.1, 0.3)
+                          if sums.size > 1 else None)
+        return {"max_agg": max_agg, "alphas": alphas}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        if level:
+            raise ValueError(
+                f"{self.alias} has no native prediction intervals")
+        y = np.asarray(y, dtype=np.float64)
+        if state.get("zero") or np.all(y == 0):
+            mean, _, _ = _all_zero_result(y, h)
+            return {"mean": mean}
+        max_agg = state["max_agg"]
+        fcsts = np.empty(max_agg)
+        for agg in range(1, max_agg + 1):
+            fcsts[agg - 1] = ADIDA._pinned_chunk_forecast(
+                y, agg, state["alphas"][agg - 1]) / agg
+        return {"mean": np.full(h, float(fcsts.mean()))}
 
 
 class TSB(Model):

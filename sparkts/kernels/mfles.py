@@ -316,6 +316,32 @@ class MFLES(Model):
         sigma = residual_sigma(resid, max(len(y) - 1, 1))
         return mean, np.full(h, sigma), fitted_vals
 
+    # ---- forward contract: MFLES's one config-level data-dependent choice
+    # is the auto-detected robust flag; forward pins it and re-fits the
+    # boosting rounds on the new data (the component fits are the model
+    # itself, like MSTL's decomposition — not tuned hyper-parameters).
+    def fit_state(self, y, X=None):
+        core = MFLESCore(robust=self.robust)
+        core.fit(np.asarray(y, dtype=np.float64),
+                 seasonal_period=self.season_length, **self.fit_kwargs)
+        return {"robust": bool(core.robust)}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        from sparkts.kernels.base import add_intervals
+
+        y = np.asarray(y, dtype=np.float64)
+        core = MFLESCore(robust=state["robust"])
+        fitted_vals = core.fit(y, seasonal_period=self.season_length,
+                               **self.fit_kwargs)
+        res = {"mean": core.predict(h)}
+        if fitted:
+            res["fitted"] = fitted_vals
+        if level:
+            sigma = residual_sigma(y - fitted_vals, max(y.size - 1, 1))
+            add_intervals(res, np.full(h, sigma), level)
+        return res
+
 
 class AutoMFLES(Model):
     """Config search by rolling-origin CV (reference models.py:1577,
@@ -364,8 +390,8 @@ class AutoMFLES(Model):
             return float(np.mean(np.abs(actual - pred)))
         return float(np.mean((actual - pred) ** 2))
 
-    def _forecast(self, y, h, fitted):
-        y = np.asarray(y, dtype=np.float64)
+    def _select(self, y, h):
+        """Best config by rolling-origin CV (the tuned state)."""
         test_size = self.test_size or h
         best_cfg, best_err = None, np.inf
         max_windows = max(min(self.n_windows, (y.size - 4) // test_size - 1), 1)
@@ -387,8 +413,39 @@ class AutoMFLES(Model):
                 best_err, best_cfg = err, cfg
         if best_cfg is None:
             best_cfg = {"seasonal_period": self.season_length}
+        return best_cfg
+
+    def _forecast(self, y, h, fitted):
+        y = np.asarray(y, dtype=np.float64)
+        best_cfg = self._select(y, h)
         core = MFLESCore()
         fitted_vals = core.fit(y, **best_cfg)
         mean = core.predict(h)
         sigma = residual_sigma(y - fitted_vals, max(y.size - 1, 1))
         return mean, np.full(h, sigma), fitted_vals
+
+    # ---- forward contract: the cv config search is the tuned state;
+    # forward pins the winning config and re-fits MFLES on the new data
+    # with it (no search). ``h`` at fit time defaults the cv test_size, so
+    # fit_state uses test_size or 1 — pass test_size explicitly for parity.
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        cfg = self._select(y, self.test_size or 1)
+        core = MFLESCore()
+        core.fit(y, **cfg)
+        return {"cfg": dict(cfg), "robust": bool(core.robust)}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        from sparkts.kernels.base import add_intervals
+
+        y = np.asarray(y, dtype=np.float64)
+        core = MFLESCore(robust=state["robust"])
+        fitted_vals = core.fit(y, **state["cfg"])
+        res = {"mean": core.predict(h)}
+        if fitted:
+            res["fitted"] = fitted_vals
+        if level:
+            sigma = residual_sigma(y - fitted_vals, max(y.size - 1, 1))
+            add_intervals(res, np.full(h, sigma), level)
+        return res

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from sparkts.kernels.base import Model, residual_sigma
+from sparkts.kernels.base import Model, add_intervals, residual_sigma
 from sparkts.kernels.ets import AutoETS
 
 
@@ -161,6 +161,36 @@ class MSTL(Model):
         fitted_vals = (sub["fitted"] + seas_fit) if fitted and "fitted" in sub else None
         _ = resid
         return mean, sigmah, fitted_vals
+
+    # ---- forward contract (reference MSTL.forward, models.py:6098-6140):
+    # the decomposition is NOT a tuned parameter — it re-runs on the new
+    # data; only the trend forecaster's state is pinned and forwarded.
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        dec = mstl(y, self.periods)
+        return {"trend_state":
+                self.trend_forecaster.fit_state(dec["trend"] + dec["remainder"])}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        y = np.asarray(y, dtype=np.float64)
+        dec = mstl(y, self.periods)
+        deseason = dec["trend"] + dec["remainder"]
+        sub = self.trend_forecaster.forward(state["trend_state"], deseason,
+                                            h, fitted=fitted)
+        seas_fc = np.zeros(h)
+        seas_fit = np.zeros(y.size)
+        for p, s in dec["seasonals"].items():
+            seas_fc += np.tile(s[-p:], h // p + 1)[:h]
+            seas_fit += s
+        res = {"mean": np.asarray(sub["mean"], dtype=np.float64) + seas_fc}
+        if fitted and "fitted" in sub:
+            res["fitted"] = np.asarray(sub["fitted"],
+                                       dtype=np.float64) + seas_fit
+        if level:
+            sigma = residual_sigma(dec["remainder"], max(y.size - 1, 1))
+            add_intervals(res, np.full(h, sigma), level)
+        return res
 
 
 def mstl_decomposition_frame(y: np.ndarray, periods: list[int]) -> dict:

@@ -61,9 +61,10 @@ class LinearRegression(Model):
         return res
 
     def _design(self, X):
-        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
-        if X.ndim == 2 and X.shape[0] == 1 and X.size > X.shape[1]:
-            X = X.T
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim == 1:
+            # a 1-D regressor vector of length n is one column, not one row
+            X = X[:, None]
         if self.fit_intercept:
             return np.hstack([np.ones((X.shape[0], 1)), X])
         return X
@@ -118,6 +119,9 @@ class Ridge(LinearRegression):
 
     def _forecast_exog(self, y, h, fitted, X, X_future):
         A, Af = self._design(X), self._design(X_future)
+        if A.shape[0] != y.size:
+            raise ValueError(
+                f"X has {A.shape[0]} rows but y has {y.size}")
         if Af.shape[0] != h:
             raise ValueError(
                 f"X_future has {Af.shape[0]} rows, expected h={h}")
@@ -143,9 +147,9 @@ class PolynomialRegression(LinearRegression):
         self.degree = int(degree)
 
     def _design(self, X):
-        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
-        if X.ndim == 2 and X.shape[0] == 1 and X.size > X.shape[1]:
-            X = X.T
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim == 1:
+            X = X[:, None]
         cols = [X**d for d in range(1, self.degree + 1)]
         A = np.hstack(cols)
         if self.fit_intercept:

@@ -99,7 +99,8 @@ class _SeasonalSESBase(Model):
 
     season_length: int
 
-    def _phase_alpha(self, sub: np.ndarray) -> float:
+    def _phase_alpha(self, sub: np.ndarray, abs_phase: int) -> float:
+        """α for the subseries whose elements sit at t ≡ abs_phase (mod m)."""
         raise NotImplementedError
 
     def _forecast(self, y, h, fitted):
@@ -113,7 +114,7 @@ class _SeasonalSESBase(Model):
         for i in range(m):
             idx0 = i + n % m
             sub = y[idx0::m]
-            alpha = self._phase_alpha(sub)
+            alpha = self._phase_alpha(sub, idx0 % m)
             alphas[i] = alpha
             f, fc = ses_scan(sub, alpha)
             season_vals[i] = fc
@@ -134,8 +135,9 @@ class _SeasonalSESBase(Model):
         season_vals = np.empty(m)
         alphas = np.empty(m)
         for i in range(m):
-            sub = y[i + n % m :: m]
-            alphas[i] = self._phase_alpha(sub)
+            idx0 = i + n % m
+            sub = y[idx0::m]
+            alphas[i] = self._phase_alpha(sub, idx0 % m)
             season_vals[i] = ses_scan(sub, alphas[i])[1]
         return _seasonal_ses_sim_paths(season_vals, alphas, errs)
 
@@ -146,16 +148,56 @@ class SeasonalExponentialSmoothing(_SeasonalSESBase):
         self.season_length = int(season_length)
         self.alpha = float(alpha)
 
-    def _phase_alpha(self, sub):
+    def _phase_alpha(self, sub, abs_phase):
         return self.alpha
+
+
+class _PinnedSeasonalES(_SeasonalSESBase):
+    """Per-phase SES with α's pinned by ABSOLUTE phase (t mod m) — the
+    forward twin of the optimized variant. Lookup by absolute phase keeps
+    alignment correct as the series grows (the i-th end-aligned subseries
+    shifts phase when n changes)."""
+
+    def __init__(self, season_length: int, alphas_by_phase: dict,
+                 alias: str | None = None):
+        super().__init__(alias or "SeasESPinned")
+        self.season_length = int(season_length)
+        self._alphas = dict(alphas_by_phase)
+
+    def _phase_alpha(self, sub, abs_phase):
+        return self._alphas[abs_phase]
 
 
 class SeasonalExponentialSmoothingOptimized(_SeasonalSESBase):
 
     tunable = True
+
     def __init__(self, season_length: int, alias: str | None = None):
         super().__init__(alias or "SeasESOpt")
         self.season_length = int(season_length)
 
-    def _phase_alpha(self, sub):
+    def _phase_alpha(self, sub, abs_phase):
         return golden_section_ses(sub, 0.01, 0.99)
+
+    # ---- forward contract: the m golden-section α's are the tuned state,
+    # keyed by ABSOLUTE phase so re-application to a longer series maps
+    # each subseries to the α fitted for its calendar phase.
+    def fit_state(self, y, X=None):
+        y = np.asarray(y, dtype=np.float64)
+        m, n = self.season_length, y.size
+        if n < m:
+            return {"short": True}
+        alphas = {}
+        for i in range(m):
+            idx0 = i + n % m
+            alphas[idx0 % m] = golden_section_ses(y[idx0::m], 0.01, 0.99)
+        return {"alphas_by_phase": alphas}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        y = np.asarray(y, dtype=np.float64)
+        if state.get("short") or y.size < self.season_length:
+            return self.forecast(y, h, level=level, fitted=fitted)
+        pinned = _PinnedSeasonalES(self.season_length,
+                                   state["alphas_by_phase"], alias=self.alias)
+        return pinned.forecast(y, h, level=level, fitted=fitted)

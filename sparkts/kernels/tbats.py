@@ -336,9 +336,10 @@ class AutoTBATS(Model):
                         continue
                     yield bc, tr, d
 
-    def _forecast(self, y, h, fitted):
+    def _fit_best(self, y):
+        """(fit, (use_boxcox, use_trend, use_damped)) of the AIC winner."""
         y = np.asarray(y, dtype=np.float64)
-        best = None
+        best, best_variant = None, None
         for bc, tr, d in self._variants(y):
             fit = tbats_fit(y, self.periods, bc, tr, d, lam=0.0,
                             fixed=self.fixed_params,
@@ -346,13 +347,58 @@ class AutoTBATS(Model):
             if fit is None or not np.isfinite(fit["aic"]):
                 continue
             if best is None or fit["aic"] < best["aic"]:
-                best = fit
+                best, best_variant = fit, (bc, tr, d)
         if best is None:
             raise ValueError(f"AutoTBATS: no variant fits series (n={y.size})")
+        return best, best_variant
+
+    def _forecast(self, y, h, fitted):
+        best, _ = self._fit_best(y)
         mean, se = tbats_forecast(best, h)
         fitted_vals = (inv_boxcox(best["fitted_z"], best["lam"])
                        if best["use_boxcox"] else best["fitted_z"])
         return mean, se, fitted_vals
+
+    # ---- forward contract: the variant search + Nelder-Mead parameters are
+    # the tuned state. The reference has no TBATS forward (cv refit=False
+    # raises there); here forward pins the selected variant, the harmonic
+    # counts, and EVERY optimized parameter (α, β, φ, per-season γ pairs,
+    # initial level/trend) and re-runs the deterministic filter on the new
+    # data (seasonal seed states re-derive from the new series head).
+    def fit_state(self, y, X=None):
+        fit, (bc, tr, d) = self._fit_best(y)
+        alpha, beta, phi, gammas, l0, b0 = fit["params"]
+        fixed = {"alpha": alpha, "l0": l0}
+        if tr:
+            fixed["beta"] = beta
+            fixed["b0"] = b0
+            if d:
+                fixed["phi"] = phi
+        for i, (g1, g2) in enumerate(gammas):
+            fixed[f"g1_{i}"] = g1
+            fixed[f"g2_{i}"] = g2
+        return {"variant": (bc, tr, d), "fixed": fixed, "ks": list(fit["ks"])}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        from sparkts.kernels.base import add_intervals
+
+        bc, tr, d = state["variant"]
+        fit = tbats_fit(np.asarray(y, dtype=np.float64), self.periods,
+                        bc, tr, d, lam=0.0, fixed=state["fixed"],
+                        harmonics=state["ks"])
+        if fit is None:
+            raise ValueError(
+                f"{self.alias}.forward: pinned variant no longer admissible "
+                f"(n={np.asarray(y).size})")
+        mean, se = tbats_forecast(fit, h)
+        res = {"mean": mean}
+        if fitted:
+            res["fitted"] = (inv_boxcox(fit["fitted_z"], fit["lam"])
+                             if fit["use_boxcox"] else fit["fitted_z"])
+        if level:
+            add_intervals(res, se, level)
+        return res
 
 
 class TBATS(AutoTBATS):

@@ -318,6 +318,10 @@ class AutoTheta(Model):
     """Select among STM/OTM/DSTM/DOTM by in-sample MSE."""
 
     _fixed_type: str | None = None
+    #: the Nelder-Mead search over (level0, α[, θ]) and the variant pick are
+    #: tuned parameters — refit=False must NOT silently re-run them
+    #: (reference forward_theta pins them, theta.py:549-562)
+    tunable = True
 
     def __init__(
         self,
@@ -346,6 +350,42 @@ class AutoTheta(Model):
             y, self.season_length, model=self._fixed_type,
             decomposition_type=self.decomposition_type,
             fixed=self.fixed_params,
+        )
+        res = forecast_theta(fit, h, level=level)
+        if fitted:
+            res["fitted"] = y - fit["residuals"]
+        return res
+
+    # ---- forward contract (reference forward_theta, theta.py:549-562) ----
+    def fit_state(self, y, X=None):
+        """Reusable state: the SELECTED variant + its optimized
+        (initial_smoothed, alpha, theta). Constant series short-circuit
+        (the constant guard in forecast never fits)."""
+        y = np.asarray(y, dtype=np.float64)
+        if np.all(y == y[0]):
+            return {"constant": True}
+        fit = auto_theta(
+            y, self.season_length, model=self._fixed_type,
+            decomposition_type=self.decomposition_type,
+            fixed=self.fixed_params,
+        )
+        return {"model_type": fit["model_type"], "par": dict(fit["par"])}
+
+    def forward(self, state, y, h, level=None, fitted=False,
+                X=None, X_future=None):
+        """Re-apply the fitted variant + parameters to (possibly longer)
+        data — the reference's forward_theta re-runs auto_theta with model
+        and all three parameters pinned (theta.py:549-562): one
+        deterministic filter pass, zero Nelder-Mead calls. The seasonality
+        test / decomposition re-runs on the new data, exactly as the
+        reference's pinned auto_theta does."""
+        y = np.asarray(y, dtype=np.float64)
+        if state.get("constant") or np.all(y == y[0]):
+            return self.forecast(y, h, level=level, fitted=fitted)
+        fit = auto_theta(
+            y, self.season_length, model=state["model_type"],
+            decomposition_type=self.decomposition_type,
+            fixed=state["par"],
         )
         res = forecast_theta(fit, h, level=level)
         if fitted:

@@ -256,10 +256,83 @@ class TestArimaExog:
                                    want["LinearRegression"], rtol=1e-9)
         np.testing.assert_allclose(got["ARIMA"], want["ARIMA"], rtol=1e-9)
 
+    def test_predict_reorders_permuted_xdf_columns(self, spark):
+        """ADVICE r3: an X_df whose regressor columns arrive in a different
+        order than at fit time must be reindexed to the persisted fit-time
+        order, never applied positionally."""
+        from sparkts.kernels import LinearRegression
+
+        rng = np.random.default_rng(3)
+        n = 60
+        X = rng.normal(0, 1, (n, 2))
+        y = 1.0 + 3.0 * X[:, 0] - 2.0 * X[:, 1] + rng.normal(0, 0.05, n)
+        rows = [("a", t, float(y[t]), float(X[t, 0]), float(X[t, 1]))
+                for t in range(n)]
+        df = spark.createDataFrame(
+            rows, "unique_id string, ds long, y double, x1 double, x2 double")
+        sf = SparkForecast([LinearRegression()], freq=1)
+        states = sf.fit(df)
+        fut = [("a", n + s, 1.0, 5.0) for s in range(2)]
+        # x2 FIRST — permuted vs the fit-time (x1, x2) order
+        X_perm = spark.createDataFrame(
+            fut, "unique_id string, ds long, x2 double, x1 double")
+        got = (sf.predict(states, h=2, X_df=X_perm).toPandas()
+               .sort_values("ds")["LinearRegression"].to_numpy())
+        # x2=1.0, x1=5.0 → 1 + 3·5 − 2·1 = 14
+        np.testing.assert_allclose(got, np.full(2, 14.0), atol=0.5)
+
+    def test_predict_missing_exog_column_raises(self, spark):
+        from sparkts.kernels import LinearRegression
+
+        rows = [("a", t, float(t), float(t % 3), float(t % 5))
+                for t in range(30)]
+        df = spark.createDataFrame(
+            rows, "unique_id string, ds long, y double, x1 double, x2 double")
+        sf = SparkForecast([LinearRegression()], freq=1)
+        states = sf.fit(df)
+        X_df = spark.createDataFrame([("a", 30, 1.0), ("a", 31, 1.0)],
+                                     "unique_id string, ds long, x1 double")
+        with pytest.raises(Exception, match="missing exog columns"):
+            sf.predict(states, h=2, X_df=X_df).collect()
+
+    def test_predict_exog_state_without_xdf_raises(self, spark):
+        """ADVICE r3: a state fitted WITH exog, predicted without X_df,
+        must raise a clear diagnostic — not be silently replaced by the
+        fallback forecast."""
+        from sparkts.kernels import ARIMA, Naive
+
+        y, X = self._series(60)
+        rows = [("a", t, float(y[t]), float(X[t, 0])) for t in range(60)]
+        df = spark.createDataFrame(
+            rows, "unique_id string, ds long, y double, x double")
+        sf = SparkForecast([ARIMA((1, 0, 0), include_mean=False)], freq=1,
+                           fallback_model=Naive())
+        states = sf.fit(df)
+        with pytest.raises(Exception, match="needs X_df"):
+            sf.predict(states, h=2).collect()
+
 
 class TestRegressorSurface:
     """Ridge / polynomial / duck-typed SklearnModel wrapper (reference
     models.py:6763 SklearnModel surface)."""
+
+    def test_one_d_regressor_vector_is_a_column(self):
+        """ADVICE r3: a 1-D regressor of length n must become an (n,1)
+        design column (the old transpose guard was dead code and produced
+        a 1-row design)."""
+        from sparkts.kernels import LinearRegression, Ridge
+        from sparkts.kernels.arima import _exog_design
+
+        x = np.arange(10.0)
+        assert _exog_design(x).shape == (10, 2)
+        m = LinearRegression()
+        assert m._design(x).shape == (10, 2)
+        y = 2 * x + 1
+        res = m.forecast(y, 2, X=x, X_future=np.array([10.0, 11.0]))
+        np.testing.assert_allclose(res["mean"], [21.0, 23.0], atol=1e-8)
+        with pytest.raises(ValueError, match="rows"):
+            Ridge()._forecast_exog(y[:5], 2, False, x,
+                                   np.array([10.0, 11.0]))
 
     def _xy(self, n=60, seed=4):
         rng = np.random.default_rng(seed)

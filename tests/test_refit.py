@@ -58,9 +58,81 @@ class TestForwardContract:
                                    m.forecast(y, 3)["mean"])
 
     def test_tunable_without_forward_raises(self, y):
-        m = AutoCES(12)
+        from sparkts.kernels.base import Model
+
+        class _TunedNoForward(Model):
+            tunable = True
+
+            def _forecast(self, y_, h, fitted):
+                return np.zeros(h), None, None
+
+        m = _TunedNoForward()
         with pytest.raises(NotImplementedError):
             m.fit_state(y)
+        with pytest.raises(NotImplementedError):
+            m.forward(None, y, 3)
+
+    @pytest.mark.parametrize("family", [
+        "theta", "ces", "tbats", "garch", "mstl", "mfles", "automfles",
+        "seases", "croston", "adida", "imapa",
+    ])
+    def test_every_tunable_family_forward_matches_forecast_same_y(
+            self, y, family):
+        """forward(fit_state(y), y) == forecast(y): re-applying the state
+        to the data it was fitted on must reproduce the fit (all parameters
+        pinned at their optimized values)."""
+        from sparkts.kernels import (ADIDA, GARCH, IMAPA, MSTL, AutoMFLES,
+                                     AutoTBATS, AutoTheta, CrostonOptimized)
+        from sparkts.kernels import MFLES as MFLESModel
+        from sparkts.kernels.smoothing import (
+            SeasonalExponentialSmoothingOptimized)
+
+        sparse = np.zeros(80)
+        sparse[::7] = np.arange(1, 13, dtype=float)[: sparse[::7].size]
+        data = {"theta": (AutoTheta(season_length=12), y),
+                "ces": (AutoCES(12), y),
+                "tbats": (AutoTBATS(season_length=12), y),
+                "garch": (GARCH(1, 1), np.diff(np.log(np.abs(y) + 1)) * 10),
+                "mstl": (MSTL(season_length=12), y),
+                "mfles": (MFLESModel(season_length=12), y),
+                "automfles": (AutoMFLES(season_length=12, test_size=6), y),
+                "seases": (SeasonalExponentialSmoothingOptimized(12), y),
+                "croston": (CrostonOptimized(), sparse),
+                "adida": (ADIDA(), sparse),
+                "imapa": (IMAPA(), sparse)}
+        m, yy = data[family]
+        state = m.fit_state(yy)
+        fwd = m.forward(state, yy, 5)
+        ref = m.forecast(yy, 5)
+        np.testing.assert_allclose(fwd["mean"], ref["mean"],
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_theta_forward_pins_parameters(self, y):
+        """refit=False must NOT re-run the Nelder-Mead search: the state
+        fitted on a short window, forwarded to a longer window, differs
+        from a fresh refit on that longer window (reference forward_theta
+        semantics, theta.py:549-562)."""
+        from sparkts.kernels import AutoTheta
+
+        m = AutoTheta(season_length=12)
+        state = m.fit_state(y[:120])
+        fwd = m.forward(state, y, 6)["mean"]
+        refit = m.forecast(y, 6)["mean"]
+        assert not np.allclose(fwd, refit)
+
+    def test_csp_forward_is_forecast_by_design(self, y):
+        """Reference parity: CSP.forward delegates to forecast verbatim
+        (models.py:4469-4495) — the calibration pool intentionally
+        re-derives from the forwarded data."""
+        from sparkts.kernels.csp import ConformalSeasonalPool
+
+        m = ConformalSeasonalPool(12, sampler="hash", seed=3)
+        state = m.fit_state(y[:120])
+        assert state is None
+        fwd = m.forward(state, y, 4, level=[80])
+        ref = m.forecast(y, 4, level=[80])
+        for k in fwd:
+            np.testing.assert_allclose(fwd[k], ref[k])
 
 
 class TestCvRefit:
@@ -99,9 +171,37 @@ class TestCvRefit:
         assert len(out) == 2 * 4 * 6
 
     def test_refit_false_requires_forward(self, spark, panel):
-        eng = SparkForecast([AutoCES(12)], freq="D")
+        from sparkts.kernels.base import Model
+
+        class _TunedNoForward(Model):
+            tunable = True
+
+            def _forecast(self, y_, h, fitted):
+                return np.zeros(h), None, None
+
+        eng = SparkForecast([_TunedNoForward()], freq="D")
         with pytest.raises(ValueError, match="forward"):
             eng.cross_validation(panel, h=6, n_windows=2, refit=False)
+
+    def test_refit_false_differs_from_refit_true_for_tuned_models(
+            self, spark, panel):
+        """The theta/CSP silent-refit defect, regression-guarded at the
+        engine level: a tuned model under refit=False must produce
+        DIFFERENT later-window forecasts than under refit=True (window-0
+        parameters re-applied, not re-searched)."""
+        from sparkts.kernels import AutoTheta
+
+        eng = SparkForecast([AutoTheta(season_length=12)], freq="D")
+        kw = dict(h=6, n_windows=3, step_size=6)
+        out_t = (eng.cross_validation(panel, refit=True, **kw).toPandas()
+                 .sort_values(["unique_id", "cutoff", "ds"]))
+        out_f = (eng.cross_validation(panel, refit=False, **kw).toPandas()
+                 .sort_values(["unique_id", "cutoff", "ds"]))
+        first = out_t["cutoff"] == out_t["cutoff"].min()
+        np.testing.assert_allclose(out_t.loc[first, "AutoTheta"].to_numpy(),
+                                   out_f.loc[first, "AutoTheta"].to_numpy())
+        assert not np.allclose(out_t.loc[~first, "AutoTheta"].to_numpy(),
+                               out_f.loc[~first, "AutoTheta"].to_numpy())
 
 
 class TestFitPredictPersistence:
