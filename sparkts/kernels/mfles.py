@@ -390,34 +390,38 @@ class AutoMFLES(Model):
             return float(np.mean(np.abs(actual - pred)))
         return float(np.mean((actual - pred) ** 2))
 
+    def _cv_err(self, y, test_size, cfg, robust=None):
+        """Rolling-origin cv criterion of one config (the selection metric)."""
+        max_windows = max(min(self.n_windows, (y.size - 4) // test_size - 1), 1)
+        errs = []
+        for w in range(max_windows):
+            cut = y.size - (max_windows - w) * test_size
+            if cut < 4:
+                raise ValueError("series too short for cv window")
+            core = MFLESCore(robust=robust)
+            core.fit(y[:cut], **cfg)
+            errs.append(self._score(y[cut:cut + test_size],
+                                    core.predict(test_size)))
+        return float(np.mean(errs)) if errs else np.inf
+
     def _select(self, y, h):
-        """Best config by rolling-origin CV (the tuned state)."""
+        """(best config, its cv error) by rolling-origin CV."""
         test_size = self.test_size or h
         best_cfg, best_err = None, np.inf
-        max_windows = max(min(self.n_windows, (y.size - 4) // test_size - 1), 1)
         for cfg in self._configs():
-            errs = []
             try:
-                for w in range(max_windows):
-                    cut = y.size - (max_windows - w) * test_size
-                    if cut < 4:
-                        raise ValueError
-                    core = MFLESCore()
-                    core.fit(y[:cut], **cfg)
-                    errs.append(self._score(y[cut:cut + test_size],
-                                            core.predict(test_size)))
+                err = self._cv_err(y, test_size, cfg)
             except Exception:
                 continue
-            err = float(np.mean(errs)) if errs else np.inf
             if err < best_err:
                 best_err, best_cfg = err, cfg
         if best_cfg is None:
             best_cfg = {"seasonal_period": self.season_length}
-        return best_cfg
+        return best_cfg, best_err
 
     def _forecast(self, y, h, fitted):
         y = np.asarray(y, dtype=np.float64)
-        best_cfg = self._select(y, h)
+        best_cfg, _ = self._select(y, h)
         core = MFLESCore()
         fitted_vals = core.fit(y, **best_cfg)
         mean = core.predict(h)
@@ -430,7 +434,7 @@ class AutoMFLES(Model):
     # fit_state uses test_size or 1 — pass test_size explicitly for parity.
     def fit_state(self, y, X=None):
         y = np.asarray(y, dtype=np.float64)
-        cfg = self._select(y, self.test_size or 1)
+        cfg, _ = self._select(y, self.test_size or 1)
         core = MFLESCore()
         core.fit(y, **cfg)
         return {"cfg": dict(cfg), "robust": bool(core.robust)}
