@@ -922,21 +922,46 @@ def q_tbats_fc(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: html as opaque binary payload → JVM-side
-    metadata sniff + mapInPandas deterministic feature decode (the real
-    decoder is stubbed per environment; plumbing is real)."""
-    from sparkts.operators import attach_media_meta, decode_features
+    """Multimodal with a REAL decoder (round-4 brief #5): each document's
+    bytes become a 17×15 24-bit BMP (datagen.bmp_from_text — header,
+    bottom-up rows, BGR order, 1 padding byte per row), the payload is
+    sniffed JVM-side, and decode_features runs the real pure-numpy BMP
+    decode (operators/multimodal.py decode_bmp) inside mapInPandas. The
+    DuckDB oracle recomputes the per-channel pixel means DIRECTLY from the
+    raw text bytes — so a decoder that mishandles padding, channel order,
+    or row flip hash-mismatches."""
+    import pandas as pd
 
-    pages = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("media")
-    ).limit(2000)
+    from sparkts.datagen import bmp_from_text
+    from sparkts.operators import attach_media_meta, decode_features
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(2000)
+    schema = T.StructType([
+        docs.schema["doc_id"],
+        T.StructField("media", T.BinaryType(), False),
+    ])
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [bmp_from_text(t) for t in pdf["text"]],
+            })
+
+    pages = docs.mapInPandas(encode, schema)
     meta = attach_media_meta(pages)
-    feats = decode_features(meta, fake=True, dim=8)
+    feats = decode_features(meta, fake=False)
+    f = F.col("features")
     return feats.select(
         "doc_id",
         F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.round(F.aggregate("features", F.lit(0.0),
-                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+        F.col("media_meta.sniffed_type").alias("sniffed_type"),
+        f[0].cast("int").alias("height"),
+        f[1].cast("int").alias("width"),
+        F.round(f[2].cast("double"), 4).alias("mean_r"),
+        F.round(f[3].cast("double"), 4).alias("mean_g"),
+        F.round(f[4].cast("double"), 4).alias("mean_b"),
     ).orderBy("doc_id")
 
 
@@ -5220,18 +5245,29 @@ def _oracle_base() -> dict[str, str]:
         "ses_opt_fc": _ses_opt_sql(),
         "croston_opt_fc": _croston_opt_sql(),
         "media_features": """
-            WITH b AS (
-              SELECT doc_id, length(text)::INT AS n_bytes,
-                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS base
+            -- real-decoder twin: channel means recomputed from the RAW
+            -- text bytes. The Spark side round-trips text → 17x15 BMP
+            -- (bottom-up rows, BGR, 1 pad byte/row) → decode_bmp → pixel
+            -- stats; pixels are the first 765 repeated text bytes in RGB
+            -- interleave, so mean_r = avg(byte at offset 3j), etc. BMP
+            -- file size = 14 + 40 + 15·52 = 834 (stride 51 + 1 pad).
+            WITH rep AS (
+              SELECT doc_id,
+                     substr(repeat(text, (765 + length(text) - 1)
+                                          // length(text)), 1, 765) AS s
               FROM documents
+            ),
+            bytes_ AS (
+              SELECT r.doc_id, t.i,
+                     unicode(substr(r.s, t.i, 1))::DOUBLE AS v
+              FROM rep r, unnest(generate_series(1, 765)) t(i)
             )
-            SELECT doc_id, n_bytes,
-                   round((((base * 1) % 16777216) + ((base * 2) % 16777216)
-                        + ((base * 3) % 16777216) + ((base * 4) % 16777216)
-                        + ((base * 5) % 16777216) + ((base * 6) % 16777216)
-                        + ((base * 7) % 16777216) + ((base * 8) % 16777216))
-                         / 16777216.0, 4) AS feat_sum
-            FROM b
+            SELECT doc_id, 834 AS n_bytes, 'image/bmp' AS sniffed_type,
+                   15 AS height, 17 AS width,
+                   round(avg(v) FILTER ((i - 1) % 3 = 0), 4) AS mean_r,
+                   round(avg(v) FILTER ((i - 1) % 3 = 1), 4) AS mean_g,
+                   round(avg(v) FILTER ((i - 1) % 3 = 2), 4) AS mean_b
+            FROM bytes_ GROUP BY doc_id
         """,
         "winnow_pairs": _winnow_sql(),
         "cv_exog": """

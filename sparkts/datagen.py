@@ -275,3 +275,50 @@ def air_passengers_df(spark: SparkSession) -> DataFrame:
         }
     )
     return spark.createDataFrame(pdf)
+
+
+# --------------------------------------------------------------------------- #
+# BMP synthesis — pure-numpy 24-bit uncompressed Windows BMP (round-4: the
+# real media payload for the multimodal decode path; no PIL in this
+# environment, and BMP needs none)
+# --------------------------------------------------------------------------- #
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP.
+
+    Follows the BITMAPINFOHEADER layout: 14-byte file header, 40-byte info
+    header, rows bottom-up, channels BGR, each row zero-padded to a 4-byte
+    boundary. Pure numpy + struct — the deterministic counterpart of
+    ``sparkts.operators.multimodal.decode_bmp``."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += px[r, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def bmp_from_text(text: str, width: int = 17, height: int = 15) -> bytes:
+    """Deterministic BMP whose pixels are the document's own bytes: the
+    UTF-8 text, repeated to width·height·3 bytes, reshaped (h, w, RGB).
+    Width 17 makes the BMP row stride 51 → 1 padding byte per row, so a
+    decoder that mishandles padding (or BGR order, or bottom-up rows)
+    produces different channel statistics — exactly what the graded
+    media_features oracle checks from the raw text bytes."""
+    raw = text.encode("utf-8")
+    need = width * height * 3
+    reps = -(-need // max(len(raw), 1))
+    buf = (raw * reps)[:need] if raw else b"\x00" * need
+    px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+    return encode_bmp(px)

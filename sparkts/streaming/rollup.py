@@ -52,6 +52,30 @@ def stream_rollup(
     )
 
 
+def commit_batch(batch_df: DataFrame, batch_id: int, out_path: str) -> None:
+    """Batch-id-keyed IDEMPOTENT commit (round-4 brief #4; the parquet
+    stand-in for an Iceberg transactional MERGE):
+
+    1. the batch's rows land in ``data/batch=<id>`` with OVERWRITE — a
+       replayed batch (foreachBatch is at-least-once after a crash/restart)
+       rewrites its own directory instead of appending duplicates;
+    2. only then is the marker ``commits/batch=<id>`` written — readers
+       take committed batches only, so a crash between the data write and
+       the marker write leaves an invisible orphan that the replay simply
+       overwrites.
+
+    Observable output is therefore exactly-once: duplicate invocations of
+    the same (batch_df, batch_id) are byte-idempotent (tested by replaying
+    a batch in tests/test_streaming.py)."""
+    spark = batch_df.sparkSession
+    batch_df.write.mode("overwrite").parquet(
+        f"{out_path}/data/batch={int(batch_id)}")
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        f"{out_path}/commits/batch={int(batch_id)}")
+
+
 def write_tier_stream(
     tier_df: DataFrame,
     out_path: str,
@@ -59,19 +83,18 @@ def write_tier_stream(
     available_now: bool = True,
 ):
     """Sink the streaming tier via ``foreachBatch`` in UPDATE mode with
-    merge-on-read: each micro-batch appends its (possibly partial) bucket
-    aggregates stamped with ``__batch_id``; readers take the latest stamp
-    per (keys, bucket) — see ``read_tier_stream_output``. Update mode (not
-    append) so the final, not-yet-watermark-closed buckets are still
-    emitted; on Iceberg this sink becomes a MERGE INTO and the stamp column
-    disappears. Resume safety comes from the streaming checkpoint.
+    merge-on-read: each micro-batch commits its (possibly partial) bucket
+    aggregates through the idempotent ``commit_batch`` protocol; readers
+    take the latest COMMITTED batch per (keys, bucket) — see
+    ``read_tier_stream_output``. Update mode (not append) so the final,
+    not-yet-watermark-closed buckets are still emitted. Resume safety
+    comes from the streaming checkpoint; duplicate-delivery safety (the
+    at-least-once foreachBatch contract) comes from the commit protocol.
     ``available_now`` processes the backlog and stops — the batch-like mode
     used in tests and backfills."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        commit_batch(batch_df, batch_id, out_path)
 
     writer = (
         tier_df.writeStream.outputMode("update")
@@ -84,16 +107,25 @@ def write_tier_stream(
 
 
 def read_tier_stream_output(spark, out_path: str, key_cols: list[str]) -> DataFrame:
-    """Merge-on-read over the update-mode sink: latest ``__batch_id`` wins
-    per (keys, bucket)."""
+    """Merge-on-read over the committed sink output: committed batches
+    only (uncommitted orphans from a mid-write crash are invisible),
+    latest batch id wins per (keys, bucket). The committed-id set is
+    commit-log metadata — O(#batches), collected driver-side like any
+    table manifest — and the ``batch`` partition filter prunes orphan
+    directories at the scan."""
     from pyspark.sql import Window as W
 
-    df = spark.read.parquet(out_path)
-    w = W.partitionBy(*key_cols, "bucket").orderBy(F.col("__batch_id").desc())
+    committed = [
+        int(r[0])
+        for r in spark.read.parquet(f"{out_path}/commits").select("batch_id").collect()
+    ]
+    df = spark.read.parquet(f"{out_path}/data").where(
+        F.col("batch").isin(committed))
+    w = W.partitionBy(*key_cols, "bucket").orderBy(F.col("batch").desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__batch_id")
+        .drop("__rn", "batch")
     )
 
 

@@ -54,6 +54,64 @@ def test_stream_rollup_equals_batch(spark, events_dir, tmp_path_factory):
     assert os.path.isdir(ckpt)
 
 
+def test_duplicate_batch_replay_is_exactly_once(spark, events_dir,
+                                                tmp_path_factory):
+    """Round-4 brief #4: foreachBatch is at-least-once — after a crash the
+    last batch is REPLAYED with the same batch_id. The batch-id-keyed
+    commit protocol must make the replay invisible: re-committing every
+    batch (and one batch a third time) leaves the merged 1m tier
+    byte-identical to the batch rollup, with no duplicate rows."""
+    from sparkts.streaming.rollup import commit_batch
+
+    out = str(tmp_path_factory.mktemp("tier_replay"))
+    raw = spark.read.parquet(events_dir)
+    tier = rollup_base(raw, "ts", ["event_type"], "value", "1m")
+    # micro-batch halves, committed with explicit ids
+    from pyspark.sql import functions as F
+    b0 = tier.where(F.dayofmonth("bucket") <= 15)
+    b1 = tier.where(F.dayofmonth("bucket") > 15)
+    commit_batch(b0, 0, out)
+    commit_batch(b1, 1, out)
+    once = (read_tier_stream_output(spark, out, ["event_type"]).toPandas()
+            .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    # crash-replay: both batches re-delivered, batch 1 twice
+    commit_batch(b0, 0, out)
+    commit_batch(b1, 1, out)
+    commit_batch(b1, 1, out)
+    twice = (read_tier_stream_output(spark, out, ["event_type"]).toPandas()
+             .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(once, twice)
+    batch = (tier.select(once.columns.tolist()).toPandas()
+             .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    assert len(twice) == len(batch) > 0
+    pd.testing.assert_frame_equal(twice, batch, check_exact=False, rtol=1e-12)
+    assert not twice.duplicated(["event_type", "bucket"]).any()
+
+
+def test_uncommitted_orphan_batch_is_invisible(spark, events_dir,
+                                               tmp_path_factory):
+    """A crash BETWEEN the data write and the marker write leaves an
+    orphan data/batch=N directory; readers must not see it."""
+    from sparkts.streaming.rollup import commit_batch
+
+    out = str(tmp_path_factory.mktemp("tier_orphan"))
+    raw = spark.read.parquet(events_dir)
+    tier = rollup_base(raw, "ts", ["event_type"], "value", "1m")
+    commit_batch(tier, 0, out)
+    # simulate the torn write: data lands, marker never does
+    tier.limit(5).withColumn("n_rows", F_lit_999()).write.mode(
+        "overwrite").parquet(f"{out}/data/batch=1")
+    got = read_tier_stream_output(spark, out, ["event_type"]).toPandas()
+    want = tier.toPandas()
+    assert len(got) == len(want)
+    assert not (got["n_rows"] == 999).any()
+
+
+def F_lit_999():
+    from pyspark.sql import functions as F
+    return F.lit(999).cast("long")
+
+
 class TestStatefulAnomaly:
     """applyInPandasWithState custom operator: per-key SES state persists
     across micro-batches AND across query restarts (checkpointed state)."""
