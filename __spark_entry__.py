@@ -968,8 +968,10 @@ def q_media_features(spark, sf_dir):
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing (rolling-hash) near-dup candidates: docs sharing ≥ 5
     fingerprints (Schleimer-Wilkerson-Aiken; substring-locality guarantee
-    the MinHash path lacks). Rows-only check (rolling hash not
-    SQL-expressible); semantics covered by tests/test_text.py."""
+    the MinHash path lacks). Full VALUE oracle since round 3: the DuckDB
+    twin (_winnow_sql) expands the 28-gram Karp-Rabin rolling hash per
+    character position and replays window-min selection; semantics also
+    covered by tests/test_text.py."""
     from sparkts.operators import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)

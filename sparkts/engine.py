@@ -41,9 +41,9 @@ from sparkts.plans.schema import (
 )
 
 
-def _kernel_partitioned(df: DataFrame, id_col: str) -> DataFrame:
-    """Explicit hash repartition on the series key before a grouped-map
-    kernel.
+def _kernel_partitioned(df: DataFrame, id_col: str,
+                        for_cogroup: bool = False) -> DataFrame:
+    """Explicit repartition on the series key before a grouped-map kernel.
 
     Why not let the groupBy's own exchange handle it: AQE coalesces shuffle
     partitions by JVM byte size, and a panel small in bytes (~MBs) coalesces
@@ -52,9 +52,22 @@ def _kernel_partitioned(df: DataFrame, id_col: str) -> DataFrame:
     parallel). Python cost per row dwarfs bytes here, so partitioning must
     be explicit; AQE leaves user-specified repartitioning alone, and the
     groupBy reuses it (no second exchange — asserted in tests/test_plans.py).
-    """
+
+    Single-input kernels use RANGE partitioning (round 4, the cv9 straggler
+    fix): hashing ~2k series into cores×2 buckets is a multinomial draw —
+    measured 1330..2936 rows/partition, a 1.56× straggler that caps the
+    grouped-map stage at its slowest task. repartitionByRange balances ROW
+    counts (measured 1698..2089) and RangePartitioning(id) still satisfies
+    the groupBy's clustering requirement, so there is no extra exchange —
+    only the one sampling pass range partitioning always costs, which the
+    straggler savings dominate. Cogrouped kernels keep HASH partitioning:
+    two independently-sampled range boundaries would break co-partitioning
+    and force BOTH sides to re-shuffle."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * 2, id_col)
+    n = sc.defaultParallelism * 2
+    if for_cogroup:
+        return df.repartition(n, id_col)
+    return df.repartitionByRange(n, id_col)
 
 
 def _future_index(last, h: int, freq):
@@ -215,11 +228,13 @@ class SparkForecast:
 
         return (
             _kernel_partitioned(
-                df.select(id_col, time_col, target_col, *exog_cols), id_col)
+                df.select(id_col, time_col, target_col, *exog_cols), id_col,
+                for_cogroup=True)
             .groupBy(id_col)
             .cogroup(
                 _kernel_partitioned(
-                    X_df.select(id_col, time_col, *exog_cols), id_col
+                    X_df.select(id_col, time_col, *exog_cols), id_col,
+                    for_cogroup=True
                 ).groupBy(id_col))
             .applyInPandas(cokernel, schema)
         )
@@ -411,11 +426,12 @@ class SparkForecast:
             return predict_rows(left, right[time_col].to_numpy(), right)
 
         return (
-            _kernel_partitioned(states, id_col)
+            _kernel_partitioned(states, id_col, for_cogroup=True)
             .groupBy(id_col)
             .cogroup(
                 _kernel_partitioned(
-                    X_df.select(id_col, time_col, *exog_cols), id_col
+                    X_df.select(id_col, time_col, *exog_cols), id_col,
+                    for_cogroup=True
                 ).groupBy(id_col))
             .applyInPandas(cokernel, schema)
         )
