@@ -236,6 +236,43 @@ class TestFitPredictPersistence:
             np.testing.assert_allclose(from_state[c].to_numpy(),
                                        direct[c].to_numpy(), rtol=1e-12)
 
+    def test_heavy_family_states_roundtrip_parquet(self, spark, tmp_path):
+        """Round 4: every newly-forwardable family's state must survive
+        pickle → parquet → predict, and predict-from-state must equal the
+        direct forward on the same data."""
+        import numpy as np
+        from sparkts.engine import SparkForecast
+        from sparkts.kernels import (GARCH, MSTL, AutoCES, AutoTheta,
+                                     CrostonOptimized)
+
+        rows = []
+        rng = np.random.default_rng(2)
+        for uid in ("a", "b"):
+            t = np.arange(90)
+            y = (20 + 0.05 * t + 4 * np.sin(2 * np.pi * t / 12)
+                 + rng.normal(0, 0.5, 90))
+            rows += [(uid, int(tt), float(y[tt])) for tt in t]
+        df = spark.createDataFrame(rows, "unique_id string, ds long, y double")
+        models = [AutoTheta(season_length=12), AutoCES(12), MSTL(12),
+                  GARCH(1, 1), CrostonOptimized()]
+        eng = SparkForecast(models, freq=1)
+        states = eng.fit(df)
+        path = str(tmp_path / "heavy_states.parquet")
+        states.write.mode("overwrite").parquet(path)
+        loaded = spark.read.parquet(path)
+        out = (eng.predict(loaded, h=4).toPandas()
+               .sort_values(["unique_id", "ds"]).reset_index(drop=True))
+        assert len(out) == 8
+        # direct kernel-side check for one series/model pair
+        ya = np.array([r[2] for r in rows if r[0] == "a"])
+        m = AutoTheta(season_length=12)
+        want = m.forward(m.fit_state(ya), ya, 4)["mean"]
+        np.testing.assert_allclose(
+            out[out.unique_id == "a"]["AutoTheta"].to_numpy(), want,
+            rtol=1e-9)
+        for mm in models:
+            assert np.isfinite(out[repr(mm)].to_numpy()).all()
+
     def test_predict_missing_model_state_raises(self, spark):
         import pytest as _pytest
         from sparkts.engine import SparkForecast
