@@ -1,4 +1,6 @@
 from sparkts.streaming.rollup import (  # noqa: F401
+    commit_batch,
+    compact_tier_output,
     read_tier_stream_output,
     stream_cascade,
     stream_rollup,

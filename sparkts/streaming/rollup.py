@@ -129,6 +129,46 @@ def read_tier_stream_output(spark, out_path: str, key_cols: list[str]) -> DataFr
     )
 
 
+def compact_tier_output(spark, out_path: str, key_cols: list[str]) -> int:
+    """Compact the committed merge-on-read sink (the OPTIMIZE step a
+    long-running streaming tier needs: per-batch directories accumulate
+    small files and the latest-wins window widens).
+
+    Protocol-safe at every instant: (1) materialize the current merged
+    view into a NEW batch directory with id = max(committed)+1 via the
+    same ``commit_batch`` (data before marker); (2) only after its marker
+    lands, retire the superseded markers and data directories. A reader
+    concurrent with step 1 sees the old batches; after step 2 it sees the
+    consolidated batch — identical values either way, because latest-wins
+    per (keys, bucket) makes the consolidated batch shadow everything it
+    folded. A crash mid-compaction leaves both generations committed —
+    still correct, and the next compaction finishes the GC. A STALE replay
+    of a pre-compaction micro-batch (id < consolidated) re-creates a
+    directory the latest-wins read ignores.
+
+    Returns the consolidated batch id."""
+    committed = [
+        int(r[0])
+        for r in spark.read.parquet(f"{out_path}/commits")
+        .select("batch_id").collect()
+    ]
+    if not committed:
+        raise ValueError(f"nothing committed under {out_path}")
+    new_id = max(committed) + 1
+    merged = read_tier_stream_output(spark, out_path, key_cols)
+    commit_batch(merged, new_id, out_path)
+    # GC superseded generations (FS-agnostic via the Hadoop FileSystem API)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in committed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{out_path}/commits/batch={b}"), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{out_path}/data/batch={b}"), True)
+    return new_id
+
+
 def stream_cascade(spark, out_path: str, key_cols: list[str],
                    tiers: tuple[str, ...] = ("5m", "1h", "1d")) -> dict:
     """Upgrade the streaming 1m sink to the FULL tier cascade: merge-on-read

@@ -88,6 +88,41 @@ def test_duplicate_batch_replay_is_exactly_once(spark, events_dir,
     assert not twice.duplicated(["event_type", "bucket"]).any()
 
 
+def test_compaction_preserves_view_and_gcs_old_batches(spark, events_dir,
+                                                       tmp_path_factory):
+    """compact_tier_output folds all committed batches into one, the
+    merged view is unchanged, superseded directories are gone, and a STALE
+    replay of a pre-compaction batch id is shadowed by latest-wins."""
+    import os
+
+    from pyspark.sql import functions as F
+    from sparkts.streaming import commit_batch, compact_tier_output
+
+    out = str(tmp_path_factory.mktemp("tier_compact"))
+    raw = spark.read.parquet(events_dir)
+    tier = rollup_base(raw, "ts", ["event_type"], "value", "1m")
+    b0 = tier.where(F.dayofmonth("bucket") <= 10)
+    b1 = tier.where((F.dayofmonth("bucket") > 10)
+                    & (F.dayofmonth("bucket") <= 20))
+    b2 = tier.where(F.dayofmonth("bucket") > 20)
+    for i, b in enumerate((b0, b1, b2)):
+        commit_batch(b, i, out)
+    before = (read_tier_stream_output(spark, out, ["event_type"]).toPandas()
+              .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    new_id = compact_tier_output(spark, out, ["event_type"])
+    assert new_id == 3
+    assert sorted(os.listdir(f"{out}/data")) == ["batch=3"]
+    after = (read_tier_stream_output(spark, out, ["event_type"]).toPandas()
+             .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)
+    # stale replay of a folded batch: id < consolidated → shadowed
+    commit_batch(b1.withColumn("v_sum", F.lit(-1.0)), 1, out)
+    replayed = (read_tier_stream_output(spark, out, ["event_type"])
+                .toPandas().sort_values(["event_type", "bucket"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, replayed)
+
+
 def test_uncommitted_orphan_batch_is_invisible(spark, events_dir,
                                                tmp_path_factory):
     """A crash BETWEEN the data write and the marker write leaves an
