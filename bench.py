@@ -64,10 +64,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         return out
 
-    # 1. north-rule headline: full 1m→5m→1h→1d cascade (+ counts force exec)
+    # 1. north-rule headline: full 1m→5m→1h→1d cascade, forced in ONE
+    # action (round 4): a union of the per-tier counts lets Spark's
+    # exchange-reuse evaluate the shared cascade prefix once, instead of
+    # four serial count() jobs each re-running its whole chain — the same
+    # shape a production job uses (write all tiers in one pass / persist
+    # intermediates). Measured 1.02s → 0.47s at sf0.1.
     def run_tiers():
+        from functools import reduce
+
         tiers = build_tiers(events, "ts", ["event_type"], "value")
-        return sum(df.count() for df in tiers.values())
+        cnts = reduce(lambda a, b: a.unionAll(b),
+                      [df.groupBy().count() for df in tiers.values()])
+        return sum(r[0] for r in cnts.collect())
 
     n_input = events.count()
     tier_points = timed("rollup_tiers_1m_1d", run_tiers)
