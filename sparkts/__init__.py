@@ -20,4 +20,5 @@ Layout
 
 __version__ = "0.1.0"
 
+from sparkts.compat import StatsForecast  # noqa: F401
 from sparkts.engine import SparkForecast  # noqa: F401

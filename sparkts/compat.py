@@ -1,0 +1,124 @@
+"""Drop-in ``StatsForecast`` facade over the Spark engine.
+
+A reference user's code does ``StatsForecast(models, freq).forecast(df, h)``
+with a pandas DataFrame and gets a pandas DataFrame back (reference
+core.py:541-575 constructor; forecast core.py:882; the stateful
+fit core.py:663 / predict core.py:766 pair stores fitted models on the
+instance). This module gives that exact surface on Spark:
+
+* pandas in → pandas out (converted through the active SparkSession;
+  the conversion is the driver-side convenience path — for cluster-scale
+  inputs pass a Spark DataFrame and get a Spark DataFrame back, zero
+  collects);
+* ``fit`` stores the distributed state TABLE on the instance (the
+  Spark-native analogue of the reference's ``fitted_`` array) and
+  ``predict(h)`` forwards from it — no re-fitting, matching the
+  reference's scikit-learn-style contract;
+* reference-only knobs that don't apply on a cluster (``n_jobs``,
+  ``verbose``) are accepted and ignored, so constructor calls port
+  unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkts.engine import SparkForecast
+from sparkts.kernels.base import Model
+
+
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from sparkts.session import get_spark
+
+        spark = get_spark("sparkts-compat")
+    return spark
+
+
+class StatsForecast(SparkForecast):
+    """Reference-signature facade (core.py:541): pandas or Spark frames in,
+    same kind out; stateful ``fit``/``predict``; ``forecast`` stateless."""
+
+    def __init__(
+        self,
+        models: Sequence[Model],
+        freq: str | int,
+        n_jobs: int = 1,
+        fallback_model: Model | None = None,
+        verbose: bool = False,
+    ):
+        super().__init__(models, freq, fallback_model=fallback_model)
+        del n_jobs, verbose  # cluster engine: accepted for API parity
+        #: the distributed (id, model, state) table after ``fit``
+        self.fitted_states_: DataFrame | None = None
+
+    # -- frame conversion ------------------------------------------------
+    @staticmethod
+    def _to_spark(df):
+        if df is None or isinstance(df, DataFrame):
+            return df, False
+        if isinstance(df, pd.DataFrame):
+            return _active_spark().createDataFrame(df), True
+        raise TypeError(
+            f"df must be a pandas or Spark DataFrame, got {type(df).__name__}")
+
+    @staticmethod
+    def _maybe_pandas(out: DataFrame, was_pandas: bool):
+        return out.toPandas() if was_pandas else out
+
+    # -- reference surface ----------------------------------------------
+    def forecast(self, df=None, h=None, level=None, X_df=None, **kw):
+        if df is None or h is None:
+            raise ValueError("forecast needs df and h (reference core.py:882)")
+        sdf, was_pd = self._to_spark(df)
+        sx, _ = self._to_spark(X_df)
+        out = super().forecast(sdf, h=h, level=level, X_df=sx, **kw)
+        return self._maybe_pandas(out, was_pd)
+
+    def fit(self, df=None, **kw):
+        """Fit and STORE the state table; returns self for chaining
+        (reference core.py:663)."""
+        if df is None:
+            raise ValueError("fit needs df")
+        sdf, _ = self._to_spark(df)
+        self._fit_was_pandas = isinstance(df, pd.DataFrame)
+        self.fitted_states_ = super().fit(sdf, **kw)
+        return self
+
+    def predict(self, h=None, X_df=None, level=None, **kw):
+        """Forecast from the stored state table (reference core.py:766:
+        predict takes NO df — the fit is on the instance)."""
+        if h is None:
+            raise ValueError("predict needs h")
+        if self.fitted_states_ is None:
+            raise ValueError("call fit before predict (reference contract)")
+        sx, _ = self._to_spark(X_df)
+        out = super().predict(self.fitted_states_, h=h, level=level,
+                              X_df=sx, **kw)
+        return self._maybe_pandas(out, getattr(self, "_fit_was_pandas", False))
+
+    def fit_predict(self, df=None, h=None, X_df=None, level=None, **kw):
+        """fit + predict in one call (reference core.py:817)."""
+        self.fit(df, **{k: v for k, v in kw.items()
+                        if k in ("id_col", "time_col", "target_col")})
+        return self.predict(h=h, X_df=X_df, level=level)
+
+    def cross_validation(self, df=None, h=None, **kw):
+        if df is None or h is None:
+            raise ValueError("cross_validation needs df and h")
+        sdf, was_pd = self._to_spark(df)
+        out = super().cross_validation(sdf, h=h, **kw)
+        return self._maybe_pandas(out, was_pd)
+
+    def forecast_fitted_values(self, df=None, **kw):
+        """In-sample predictions (reference core.py:1095 returns the values
+        for the LAST forecast call; here stateless — pass the df)."""
+        if df is None:
+            raise ValueError("forecast_fitted_values needs df")
+        sdf, was_pd = self._to_spark(df)
+        out = super().fitted_values(sdf, **kw)
+        return self._maybe_pandas(out, was_pd)

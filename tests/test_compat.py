@@ -1,0 +1,74 @@
+"""Drop-in StatsForecast facade: reference-signature calls with pandas
+frames must work unchanged (reference core.py:541/663/766/817/882)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkts import StatsForecast
+from sparkts.kernels import Naive, SeasonalNaive, SimpleExponentialSmoothingOptimized
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    rng = np.random.default_rng(0)
+    frames = []
+    for uid in ("s1", "s2"):
+        t = np.arange(60)
+        y = 10 + 0.1 * t + 3 * np.sin(2 * np.pi * t / 7) + rng.normal(0, 0.3, 60)
+        frames.append(pd.DataFrame({
+            "unique_id": uid,
+            "ds": pd.date_range("2025-01-01", periods=60, freq="D"),
+            "y": y}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_reference_style_forecast_pandas_in_pandas_out(spark, pdf):
+    sf = StatsForecast(models=[Naive(), SeasonalNaive(7)], freq="D", n_jobs=-1)
+    out = sf.forecast(df=pdf, h=7, level=[90])
+    assert isinstance(out, pd.DataFrame)
+    assert len(out) == 2 * 7
+    for c in ("unique_id", "ds", "Naive", "SeasonalNaive",
+              "SeasonalNaive-lo-90", "SeasonalNaive-hi-90"):
+        assert c in out.columns
+
+
+def test_reference_style_fit_predict_stateful(spark, pdf):
+    sf = StatsForecast([SimpleExponentialSmoothingOptimized(), Naive()], freq="D")
+    assert sf.fit(pdf) is sf  # chaining, reference contract
+    out = sf.predict(h=5)
+    assert isinstance(out, pd.DataFrame)
+    assert len(out) == 10
+    # predict == fit_predict == stateless forecast for these models
+    fp = StatsForecast([SimpleExponentialSmoothingOptimized(), Naive()],
+                       freq="D").fit_predict(pdf, h=5)
+    a = out.sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    b = fp.sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    np.testing.assert_allclose(a["SESOpt"].to_numpy(), b["SESOpt"].to_numpy(),
+                               rtol=1e-12)
+
+
+def test_predict_before_fit_raises(spark):
+    sf = StatsForecast([Naive()], freq="D")
+    with pytest.raises(ValueError, match="fit before predict"):
+        sf.predict(h=3)
+
+
+def test_spark_frames_stay_spark(spark, pdf):
+    from pyspark.sql import DataFrame as SparkDF
+
+    sdf = spark.createDataFrame(pdf)
+    sf = StatsForecast([Naive()], freq="D")
+    out = sf.forecast(df=sdf, h=3)
+    assert isinstance(out, SparkDF)
+    cv = sf.cross_validation(df=sdf, h=5, n_windows=2, step_size=5)
+    assert isinstance(cv, SparkDF)
+    assert cv.count() == 2 * 2 * 5
+
+
+def test_cross_validation_and_fitted_values_pandas(spark, pdf):
+    sf = StatsForecast([Naive()], freq="D")
+    cv = sf.cross_validation(df=pdf, h=5, n_windows=2, step_size=5)
+    assert isinstance(cv, pd.DataFrame) and len(cv) == 20
+    fv = sf.forecast_fitted_values(df=pdf)
+    assert isinstance(fv, pd.DataFrame) and len(fv) == len(pdf)
