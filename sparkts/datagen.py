@@ -322,3 +322,16 @@ def bmp_from_text(text: str, width: int = 17, height: int = 15) -> bytes:
     buf = (raw * reps)[:need] if raw else b"\x00" * need
     px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
     return encode_bmp(px)
+
+
+def encode_bmp_video(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-BMP container ("MBMP"): magic + frame count + per-frame
+    byte lengths + the BMP payloads back to back — the deterministic video
+    stand-in that lets the frame-sampling operator be REAL without ffmpeg
+    (each extracted frame is a self-contained 24-bit BMP)."""
+    import struct
+
+    payloads = [encode_bmp(f) for f in frames]
+    head = b"MBMP" + struct.pack("<I", len(payloads))
+    head += b"".join(struct.pack("<I", len(p)) for p in payloads)
+    return head + b"".join(payloads)

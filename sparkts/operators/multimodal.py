@@ -201,21 +201,55 @@ def resize_images(df: DataFrame, payload_col: str = "media",
     return df.mapInPandas(mapper, schema)
 
 
+def parse_bmp_video(buf: bytes) -> list[bytes]:
+    """Split an "MBMP" concatenated-BMP container (datagen.encode_bmp_video)
+    into its per-frame BMP payloads."""
+    import struct
+
+    if buf[:4] != b"MBMP":
+        raise ValueError("not an MBMP container")
+    n = struct.unpack_from("<I", buf, 4)[0]
+    lens = struct.unpack_from(f"<{n}I", buf, 8)
+    off = 8 + 4 * n
+    frames = []
+    for ln in lens:
+        frames.append(bytes(buf[off:off + ln]))
+        off += ln
+    return frames
+
+
 def sample_frames(df: DataFrame, payload_col: str = "media",
-                  every_n: int = 30) -> DataFrame:
-    """STUB of video frame sampling: real implementation explodes each
-    video payload into (frame_idx, frame binary) rows. The output schema —
-    the part Spark needs at plan time — is real."""
+                  every_n: int = 30, batch_rows: int = 32) -> DataFrame:
+    """Video frame sampling: explode each video payload into
+    (frame_idx, frame binary) rows, keeping every ``every_n``-th frame.
+    REAL for the deterministic MBMP concatenated-BMP container (each
+    emitted frame is a standalone BMP the rest of the multimodal surface
+    can decode/resize); real codecs (mp4/webm) raise NotImplementedError
+    at execution time — the documented ffmpeg swap-in point."""
     out = T.StructType(
         df.schema.fields
         + [T.StructField("frame_idx", T.IntegerType(), True),
            T.StructField("frame", T.BinaryType(), True)]
     )
+    cols = [f.name for f in df.schema.fields]
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            f"sample_frames(every_n={every_n}) needs ffmpeg — unavailable "
-            "in this environment")
-        yield  # pragma: no cover
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                rows = []
+                for _, r in chunk.iterrows():
+                    b = bytes(r[payload_col])
+                    if b[:4] != b"MBMP":
+                        raise NotImplementedError(
+                            f"sample_frames(every_n={every_n}) on real "
+                            "video codecs needs ffmpeg — unavailable in "
+                            "this environment (MBMP containers decode "
+                            "natively)")
+                    for i, frame in enumerate(parse_bmp_video(b)):
+                        if i % every_n == 0:
+                            rows.append({**{c: r[c] for c in cols},
+                                         "frame_idx": i, "frame": frame})
+                yield pd.DataFrame(rows, columns=cols + ["frame_idx", "frame"])
 
     return df.mapInPandas(mapper, out)

@@ -106,6 +106,25 @@ def test_real_bmp_resize(spark, bmp_df):
         assert px.shape == (4, 6, 3)
 
 
+def test_real_mbmp_frame_sampling(spark):
+    """sample_frames is real for the MBMP concatenated-BMP container:
+    every_n-th frame comes out as a standalone decodable BMP."""
+    from sparkts.datagen import encode_bmp_video
+    from sparkts.operators.multimodal import decode_bmp
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+              for _ in range(10)]
+    df = spark.createDataFrame([("v", encode_bmp_video(frames))],
+                               "id string, media binary")
+    out = (sample_frames(df, every_n=3).toPandas()
+           .sort_values("frame_idx").reset_index(drop=True))
+    assert out["frame_idx"].tolist() == [0, 3, 6, 9]
+    for _, r in out.iterrows():
+        np.testing.assert_array_equal(decode_bmp(bytes(r["frame"])),
+                                      frames[r["frame_idx"]])
+
+
 def test_stub_transforms_have_real_schemas(spark, media_df):
     r = resize_images(media_df)
     assert r.schema == media_df.schema  # plan-time schema is real
@@ -114,4 +133,4 @@ def test_stub_transforms_have_real_schemas(spark, media_df):
     s = sample_frames(media_df)
     assert "frame_idx" in s.columns and "frame" in s.columns
     with pytest.raises(Exception):
-        s.collect()  # execution hits the documented stub
+        s.collect()  # real video codecs hit the documented ffmpeg stub
