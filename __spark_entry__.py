@@ -1607,13 +1607,19 @@ def q_basic_fc(spark, sf_dir):
     """All seven closed-form baseline models in one long-format query:
     Naive/SeasonalNaive/SeasonalWindowAverage (h=24),
     HistoricAverage/WindowAverage/SES(0.5) (h=1), RWD (h=12) — each leg is
-    the exact query that was individually oracle-verified in round 2."""
+    the exact query that was individually oracle-verified in round 2.
+
+    Round 4: the first branch runs through ``fit`` → state table →
+    ``predict`` instead of the stateless ``forecast`` — for parameter-free
+    models forward == forecast EXACTLY, so the oracle is untouched while
+    the hash now grades the persistable-state machinery (pickle blobs,
+    state grouping, forward dispatch) end-to-end."""
     from sparkts.kernels import SeasonalWindowAverage
 
     panel = _dense_panel(spark, sf_dir)
-    a = SparkForecast(
-        [Naive(), SeasonalNaive(24), SeasonalWindowAverage(24, 7)], freq="h"
-    ).forecast(panel, h=24)
+    eng_a = SparkForecast(
+        [Naive(), SeasonalNaive(24), SeasonalWindowAverage(24, 7)], freq="h")
+    a = eng_a.predict(eng_a.fit(panel), h=24)
     b = SparkForecast(
         [HistoricAverage(), WindowAverage(168), SimpleExponentialSmoothing(0.5)],
         freq="h",
