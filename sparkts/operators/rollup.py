@@ -118,7 +118,7 @@ def build_tiers(
     """Full cascade: raw → finest tier → each coarser tier from the previous.
 
     Returned DataFrames are lazy; callers persist/write per tier (the
-    pipeline in ``sparkts.pipeline`` checkpoints each to parquet/Iceberg
+    pipeline in ``jobs/tier_pipeline.py`` checkpoints each to parquet/Iceberg
     with lineage so the raw scan happens once). ``extra_aggs`` (sum-
     decomposable) propagate through every tier.
     """
