@@ -63,13 +63,18 @@ def main() -> None:
     )
 
     pipe = TierPipeline(spark, args.out, key_cols=["domain"])
-    new_days = pipe.run(act, ts_col="warc_ts", value_col="bytes")
+    new_days = pipe.run(act, ts_col="warc_ts", value_col="bytes",
+                        extra_aggs={"n_bad": F.sum("bad")})
 
     tiers = {t: pipe.read_tier(t) for t in new_days}
     kept = apply_retention(tiers, as_of=args.as_of) if args.as_of else tiers
     tier_counts = {t: df.count() for t, df in kept.items()}
-    n_bad = tiers[min(tiers)].agg(F.sum("n_bad")).collect()[0][0] \
-        if "n_bad" in tiers[min(tiers)].columns else None
+    # finest tier by WIDTH (string min would pick '1d'); n_bad must be 0 —
+    # the north rule's byte-identical-extraction invariant
+    from sparkts.operators.rollup import TIERS as _TIERS
+    finest = min(tiers, key=lambda t: _TIERS[t])
+    n_bad = (tiers[finest].agg(F.sum("n_bad")).collect()[0][0]
+             if "n_bad" in tiers[finest].columns else None)
 
     filled = gap_fill(tiers["1h"], ["domain"], "bucket", value_cols=[],
                       step_s=3600, zero_cols=["v_sum"])

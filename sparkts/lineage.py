@@ -177,18 +177,28 @@ class TierPipeline:
         value_col: str,
         run_id: str = "run0",
         tiers: list[str] | None = None,
+        extra_aggs: dict | None = None,
     ) -> dict[str, int]:
-        """Build/extend all tiers; returns {tier: n_new_day_partitions}."""
+        """Build/extend all tiers; returns {tier: n_new_day_partitions}.
+
+        ``extra_aggs`` (sum-decomposable columns, e.g. the extraction-
+        invariant counter ``{'n_bad': F.sum('bad')}``) ride the base
+        rollup and cascade through every coarser tier — round-4 fix: the
+        pipeline used to drop them, silently disabling the
+        extraction-mismatch check the north rule requires."""
         tiers = sorted(tiers or list(TIERS), key=lambda t: TIERS[t])
         results: dict[str, int] = {}
         base = tiers[0]
-        base_df = rollup_base(activity, ts_col, self.key_cols, value_col, base)
+        base_df = rollup_base(activity, ts_col, self.key_cols, value_col,
+                              base, extra_aggs=extra_aggs)
         results[base] = self._write_pending_days(
             f"tier_{base}", base_df, self.tier_path(base), run_id
         )
+        extra_cols = list(extra_aggs or {})
         for prev, cur in zip(tiers, tiers[1:]):
             finer = self.read_tier(prev).drop("day")
-            casc = rollup_cascade(finer, self.key_cols, cur)
+            casc = rollup_cascade(finer, self.key_cols, cur,
+                                  extra_sum_cols=extra_cols)
             results[cur] = self._write_pending_days(
                 f"tier_{cur}", casc, self.tier_path(cur), run_id
             )

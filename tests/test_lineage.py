@@ -37,6 +37,21 @@ def test_full_run_then_resume_noop(spark, activity, out_dir):
     assert lin.where(F.col("run_id") == "r2").count() == 0
 
 
+def test_extra_aggs_cascade_through_every_tier(spark, activity, out_dir):
+    """Round-4 fix: sum-decomposable extra aggregates (the extraction
+    invariant's n_bad) must survive the pipeline into EVERY tier — the
+    old run() dropped them, silently disabling the check."""
+    flagged = activity.withColumn(
+        "bad", (F.col("value") < 0).cast("long"))  # always 0 on this data
+    pipe = TierPipeline(spark, out_dir, ["event_type"])
+    pipe.run(flagged, "ts", "value", run_id="r1",
+             extra_aggs={"n_bad": F.sum("bad")})
+    for t in ("1m", "5m", "1h", "1d"):
+        df = pipe.read_tier(t)
+        assert "n_bad" in df.columns, t
+        assert df.agg(F.sum("n_bad")).collect()[0][0] == 0, t
+
+
 def test_incremental_backfill(spark, activity, out_dir):
     """Feed half the days, then all days: second run adds only the new days."""
     cut = "2024-01-15 00:00:00"
