@@ -79,11 +79,18 @@ class StatsForecast(SparkForecast):
         out = super().forecast(sdf, h=h, level=level, X_df=sx, **kw)
         return self._maybe_pandas(out, was_pd)
 
-    def fit(self, df=None, **kw):
+    def fit(self, df=None, prediction_intervals=None, **kw):
         """Fit and STORE the state table; returns self for chaining
-        (reference core.py:663)."""
+        (reference core.py:663). ``prediction_intervals`` mirrors the
+        reference's kwarg: a ConformalIntervals config applied to every
+        model that doesn't already carry one (reference
+        _set_prediction_intervals)."""
         if df is None:
             raise ValueError("fit needs df")
+        if prediction_intervals is not None:
+            for m in self.models:
+                if m.prediction_intervals is None:
+                    m.prediction_intervals = prediction_intervals
         sdf, _ = self._to_spark(df)
         self._fit_was_pandas = isinstance(df, pd.DataFrame)
         self.fitted_states_ = super().fit(sdf, **kw)
@@ -113,6 +120,48 @@ class StatsForecast(SparkForecast):
         sdf, was_pd = self._to_spark(df)
         out = super().cross_validation(sdf, h=h, **kw)
         return self._maybe_pandas(out, was_pd)
+
+    def save(self, path=None):
+        """Persist the fitted facade (reference core.py:1541 pickles the
+        whole object): the distributed state table goes to
+        ``<path>/states`` as parquet and the engine config (models, freq,
+        fallback) to ``<path>/engine`` as a one-row pickled blob — no
+        driver-side collect of the states, so this works at any scale."""
+        import pickle
+
+        if path is None:
+            raise ValueError("save needs a path (no timestamped default: "
+                             "deterministic pipelines name their artifacts)")
+        if self.fitted_states_ is None:
+            raise ValueError("call fit before save (reference contract)")
+        self.fitted_states_.write.mode("overwrite").parquet(f"{path}/states")
+        blob = pickle.dumps({
+            "models": self.models,
+            "freq": self.freq,
+            "fallback_model": self.fallback_model,
+            "fit_was_pandas": getattr(self, "_fit_was_pandas", False),
+        })
+        spark = _active_spark()
+        spark.createDataFrame([(bytearray(blob),)],
+                              "engine binary").coalesce(1).write.mode(
+            "overwrite").parquet(f"{path}/engine")
+        return path
+
+    @staticmethod
+    def load(path):
+        """Restore a saved facade (reference core.py:1631): rebuilds the
+        engine from the pickled config and re-attaches the state table
+        lazily — predict works immediately, nothing is collected."""
+        import pickle
+
+        spark = _active_spark()
+        blob = bytes(spark.read.parquet(f"{path}/engine").first()["engine"])
+        cfg = pickle.loads(blob)
+        sf = StatsForecast(cfg["models"], cfg["freq"],
+                           fallback_model=cfg["fallback_model"])
+        sf.fitted_states_ = spark.read.parquet(f"{path}/states")
+        sf._fit_was_pandas = cfg["fit_was_pandas"]
+        return sf
 
     def forecast_fitted_values(self, df=None, **kw):
         """In-sample predictions (reference core.py:1095 returns the values

@@ -66,6 +66,37 @@ def test_spark_frames_stay_spark(spark, pdf):
     assert cv.count() == 2 * 2 * 5
 
 
+def test_save_load_roundtrip(spark, pdf, tmp_path):
+    """Reference save/load surface (core.py:1541/1631): a loaded facade
+    predicts identically without refitting."""
+    sf = StatsForecast([SimpleExponentialSmoothingOptimized(), Naive()],
+                       freq="D").fit(pdf)
+    want = sf.predict(h=4).sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    path = str(tmp_path / "sf_model")
+    sf.save(path)
+    back = StatsForecast.load(path)
+    got = back.predict(h=4).sort_values(["unique_id", "ds"]).reset_index(drop=True)
+    assert isinstance(got, pd.DataFrame)
+    np.testing.assert_allclose(got["SESOpt"].to_numpy(),
+                               want["SESOpt"].to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(got["Naive"].to_numpy(),
+                               want["Naive"].to_numpy(), rtol=1e-12)
+
+
+def test_fit_prediction_intervals_kwarg(spark, pdf):
+    """fit(prediction_intervals=...) mirrors the reference: conformal
+    config attached to models lacking one; predict(level=...) then emits
+    conformal bounds for a model with no native intervals."""
+    from sparkts.kernels import CrostonClassic
+    from sparkts.kernels.base import ConformalIntervals
+
+    sf = StatsForecast([CrostonClassic()], freq="D")
+    out = (sf.fit(pdf, prediction_intervals=ConformalIntervals(h=5))
+           .predict(h=5, level=[80]))
+    assert "CrostonClassic-lo-80" in out.columns
+    assert (out["CrostonClassic-lo-80"] <= out["CrostonClassic"]).all()
+
+
 def test_cross_validation_and_fitted_values_pandas(spark, pdf):
     sf = StatsForecast([Naive()], freq="D")
     cv = sf.cross_validation(df=pdf, h=5, n_windows=2, step_size=5)
