@@ -936,7 +936,10 @@ def q_media_features(spark, sf_dir):
     from sparkts.operators import attach_media_meta, decode_features
     from pyspark.sql import types as T
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(2000)
+    # deterministic slice, NOT limit(): limit is order-dependent and the
+    # oracle must select the same rows at every scale factor
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 2000).select("doc_id", "text"))
     schema = T.StructType([
         docs.schema["doc_id"],
         T.StructField("media", T.BinaryType(), False),
@@ -5263,7 +5266,7 @@ def _oracle_base() -> dict[str, str]:
               SELECT doc_id,
                      substr(repeat(text, (765 + length(text) - 1)
                                           // length(text)), 1, 765) AS s
-              FROM documents
+              FROM documents WHERE doc_id < 2000
             ),
             bytes_ AS (
               SELECT r.doc_id, t.i,
