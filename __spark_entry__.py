@@ -500,17 +500,22 @@ def q_fingerprint_md5(spark, sf_dir):
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (64 universal hashes over the
     md5-derived 30-bit shingle base, 16 bands). Value-checked end-to-end:
-    the DuckDB oracle recomputes signatures, banding, and the jaccard
-    estimator from the same hash family."""
+    the DuckDB oracle recomputes signatures, banding, the hot-bucket cap,
+    and the jaccard estimator from the same hash family. max_bucket_size
+    (the 100-TB template-page skew guard) is IN the graded path — the
+    oracle applies the identical (band, bucket) size filter, so the query
+    stays green at any scale whether or not the cap fires."""
     return minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.3
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_bucket_size=100
     ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash banded near-dup pairs (60-bit md5 token hash, hamming ≤ 8).
-    Full SQL oracle (bit arithmetic reproduced in DuckDB)."""
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    Full SQL oracle (bit arithmetic reproduced in DuckDB) including the
+    (chunk, val) hot-bucket cap."""
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8,
+                                  max_bucket_size=100)
 
 
 def _lsh_planes(dim: int, n_planes: int = 4, n_tables: int = 8, seed: int = 42):
@@ -543,7 +548,8 @@ def q_dedup_clusters(spark, sf_dir):
     DuckDB recursive CTE over the same (SQL-recomputed) pair set."""
     from sparkts.operators.dedup import duplicate_clusters
 
-    pairs = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    pairs = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.3,
+                                max_bucket_size=100)
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
@@ -2112,8 +2118,15 @@ def _minhash_ctes() -> str:
       FROM sh
     ),
     sig AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
-    banded AS (
+    banded_all AS (
 {bands}
+    ),
+    bsz AS (
+      SELECT band, bucket FROM banded_all
+      GROUP BY band, bucket HAVING count(*) <= 100
+    ),
+    banded AS (
+      SELECT b.* FROM banded_all b JOIN bsz USING (band, bucket)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2147,8 +2160,15 @@ def _simhash_sql() -> str:
     th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
     sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
     fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
-    chunks AS (
+    chunks_all AS (
 {chunk_rows}
+    ),
+    csz AS (
+      SELECT chunk, val FROM chunks_all
+      GROUP BY chunk, val HAVING count(*) <= 100
+    ),
+    chunks AS (
+      SELECT c.* FROM chunks_all c JOIN csz USING (chunk, val)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

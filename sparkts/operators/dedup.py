@@ -108,21 +108,57 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def drop_hot_buckets(
+    bucketed: DataFrame,
+    max_bucket_size: int | None,
+    keys: tuple[str, str] = ("band", "bucket"),
+) -> DataFrame:
+    """Drop (band, bucket) groups larger than the cap before a bucket
+    self-join — the standard LSH skew guard. A degenerate bucket of B
+    boilerplate/template docs contributes B²/2 candidate pairs (the classic
+    web-corpus dedup scale-killer); members of a dropped bucket can still
+    pair through their OTHER bands, so recall degrades gracefully. Dropping
+    is deterministic (pure size predicate, no sampling). ``None`` disables.
+
+    The kept-bucket set is tiny (distinct buckets ≪ rows) → broadcast join,
+    no extra shuffle on the big side."""
+    if max_bucket_size is None:
+        return bucketed
+    k = list(keys)
+    sizes = (bucketed.groupBy(*k)
+             .agg(F.count("*").alias("__bsz"))
+             .where(F.col("__bsz") <= max_bucket_size)
+             .drop("__bsz"))
+    return bucketed.join(F.broadcast(sizes), k)
+
+
+def hot_bucket_stats(
+    bucketed: DataFrame,
+    max_bucket_size: int,
+    keys: tuple[str, str] = ("band", "bucket"),
+) -> DataFrame:
+    """The dropped mass: (band, bucket, bucket_size) for every bucket over
+    the cap. A production pipeline writes this next to its lineage/metrics
+    table so the recall cost of the guard is observable, not silent."""
+    k = list(keys)
+    return (bucketed.groupBy(*k)
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") > max_bucket_size))
+
+
+def lsh_band_explode(
     sig: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Banding: docs sharing any band bucket become candidate pairs.
-
-    (id, signature) → explode bands → groupBy (band, bucket-hash) self-join.
-    Output: (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of equal
-    signature components (the unbiased MinHash estimator).
-    """
-    n = bands * rows_per_band
-    # band bucket key = the signature slice itself (stringified) — grouping
-    # semantics identical to hashing it, and reproducible in plain SQL
+    """(id, signature) → (id, band, bucket): one row per band, bucket key =
+    the stringified signature slice (grouping semantics identical to hashing
+    it, and reproducible in plain SQL). The signature array itself is NOT
+    carried through the explode — only the ~40-byte (id, band, bucket) rows
+    reach the self-join shuffle (the full 64-long array ×bands would be
+    ~16× the bytes); est_jaccard re-joins signatures onto the (few)
+    candidate pairs afterwards."""
     band_cols = [
         F.concat_ws(
             ",", *[F.col("signature")[b * rows_per_band + r].cast("string")
@@ -130,17 +166,39 @@ def lsh_candidate_pairs(
         ).alias(f"b{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, "signature", *band_cols)
-    long = banded.select(
+    banded = sig.select(id_col, *band_cols)
+    return banded.select(
         id_col,
-        "signature",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banding: docs sharing any band bucket become candidate pairs.
+
+    (id, signature) → explode band keys → bucket self-join → re-join
+    signatures on the surviving pairs. Output: (doc_a, doc_b, est_jaccard)
+    where est_jaccard = fraction of equal signature components (the
+    unbiased MinHash estimator).
+
+    ``max_bucket_size`` is the hot-bucket skew guard (see
+    :func:`drop_hot_buckets`) — without it one template-page bucket of B
+    docs costs B²/2 join rows at web scale.
+    """
+    n = bands * rows_per_band
+    long = lsh_band_explode(sig, id_col, bands, rows_per_band)
+    long = drop_hot_buckets(long, max_bucket_size)
     a = long.alias("a")
     b = long.alias("b")
     pairs = (
@@ -153,11 +211,15 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # signatures rejoin only the candidate pairs (pairs ≪ docs·bands rows);
+    # the two sig scans share the signature aggregation's exchange
+    sig_a = sig.select(F.col(id_col).alias("doc_a"),
+                       F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("doc_b"),
+                       F.col("signature").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -167,7 +229,10 @@ def lsh_candidate_pairs(
         )
         / F.lit(n)
     )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
 
 
 def minhash_dedup_pairs(
@@ -178,10 +243,12 @@ def minhash_dedup_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs with estimated Jaccard ≥ threshold."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    pairs = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands,
+                                max_bucket_size)
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
@@ -224,9 +291,15 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose SimHashes agree on ≥1 of four 15-bit chunks,
-    verified by exact Hamming distance ≤ max_hamming."""
+    verified by exact Hamming distance ≤ max_hamming.
+
+    ``max_bucket_size`` caps (chunk, val) bucket membership before the
+    self-join (see :func:`drop_hot_buckets`). Unlike the MinHash path the
+    8-byte fingerprint IS carried through the explode — it costs less than
+    the re-join it would save."""
     fp = simhash(df, id_col, text_col)
     chunks = fp.select(
         id_col,
@@ -243,6 +316,7 @@ def simhash_near_dup_pairs(
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    chunks = drop_hot_buckets(chunks, max_bucket_size, keys=("chunk", "val"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
