@@ -146,13 +146,16 @@ def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
         lag, c = coefs[0]
         if lag == 1:
             # hoisted scalar recursion — same arithmetic as the generic
-            # loop (prev starts at the implicit zero pad), no array reads
-            out = np.empty(n - np_)
+            # loop (prev starts at the implicit zero pad); Python-float
+            # list arithmetic (~5× less interpreter overhead than numpy
+            # scalar indexing, IEEE-identical results)
+            al = a.tolist()
+            out = [0.0] * (n - np_)
             prev = 0.0
             for t in range(np_, n):
-                prev = a[t] - c * prev
+                prev = al[t] - c * prev
                 out[t - np_] = prev
-            return out
+            return np.asarray(out)
         # single lag L ≥ 2: chunk [j, j+L) depends only on the fully
         # computed chunk [j−L, j) — elementwise-identical to the scalar
         # loop, batched L values per Python step
@@ -163,15 +166,30 @@ def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
                 a[j:hi] - c * epad[j : j + (hi - j)])
         return epad[lag + np_:]
     # e padded with nq leading zeros so e_{t-k} reads never branch;
-    # positions < ncond stay zero by construction
-    epad = np.zeros(n + nq)
+    # positions < ncond stay zero by construction. Python-float lists:
+    # identical IEEE arithmetic to the numpy-indexed loop, ~5× faster
+    # (this recursion is the single hottest line of the AutoARIMA search)
+    al = a.tolist()
+    epad = [0.0] * (n + nq)
     off = nq
-    for t in range(np_, n):
-        acc = a[t]
-        for lag, c in coefs:
-            acc -= c * epad[off + t - lag]
-        epad[off + t] = acc
-    return epad[off + np_:]
+    if len(coefs) == 2:
+        # unrolled two-lag variant (the seasonal (·,·,1)(·,·,1)_m shape
+        # before cross terms): same arithmetic, no inner loop
+        (l1, c1), (l2, c2) = coefs
+        for i in range(off + np_, off + n):
+            epad[i] = al[i - off] - c1 * epad[i - l1] - c2 * epad[i - l2]
+    elif len(coefs) == 3:
+        (l1, c1), (l2, c2), (l3, c3) = coefs
+        for i in range(off + np_, off + n):
+            epad[i] = (al[i - off] - c1 * epad[i - l1]
+                       - c2 * epad[i - l2] - c3 * epad[i - l3])
+    else:
+        for t in range(np_, n):
+            acc = al[t]
+            for lag, c in coefs:
+                acc -= c * epad[off + t - lag]
+            epad[off + t] = acc
+    return np.asarray(epad[off + np_:])
 
 
 def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
@@ -339,14 +357,19 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None):
         # phi=0.95 repro in round-2 ADVICE).
         xb, fb = nelder_mead(objective, x0[free], lo_full[free],
                              hi_full[free], max_iter=maxiter,
-                             tol_std=1e-8, zero_pert=0.1)
+                             tol_std=1e-8, zero_pert=0.1, tol_rel=1e-8)
         # incumbent restarts (same remedy garch_fit uses): re-seed the
-        # simplex at the best point with a wide step until no improvement
-        for _ in range(3):
+        # simplex at the best point with a wide step until no improvement.
+        # Only at FULL optimizer budget — the stepwise search's cheap
+        # approximation fits (maxiter ≤ 150, auto_arima score()) rank
+        # candidates on a single NM run and the winner is refit with
+        # restarts, mirroring the reference's CSS-approximation-then-refit
+        # split (arima.py:1858-1859) at ~4× fewer search evaluations.
+        for _ in range(3 if maxiter >= 300 else 0):
             cand, fcand = nelder_mead(objective, xb, lo_full[free],
                                       hi_full[free], max_iter=maxiter,
                                       tol_std=1e-8, init_step=0.25,
-                                      zero_pert=0.1)
+                                      zero_pert=0.1, tol_rel=1e-8)
             if fcand >= fb - 1e-10:
                 break
             xb, fb = cand, fcand
@@ -366,7 +389,8 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None):
             "resid": e, "resid_start": z.size - e.size}
 
 
-def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray):
+def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
+                       exact_cap: int | None = None):
     """Exact Gaussian log-likelihood of a stationary ARMA on the centered
     series x via the Kalman filter in Harvey's state-space form (the same
     form R's arima / the reference's C++ ML step uses, src/arima.cpp):
@@ -423,24 +447,50 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray):
     steady = False
     F = np.nan
     K = np.zeros(r)
-    for t in range(n):
-        if not steady:
-            F = P[0, 0]
-            if not np.isfinite(F) or F <= 0:
-                return -np.inf, np.nan
+    t = 0
+    Tt = T.T
+    # exact_cap bounds the O(r³)-per-step exact transient: near-boundary
+    # MA roots (|root| → 1.001) make P converge at rate |root|⁻² ≈ 1 and
+    # the filter would otherwise run the full-covariance recursion for all
+    # n steps. Past the cap, F/K are frozen at their current (almost-
+    # converged) values — the optimizer objective in _ml_refine uses this;
+    # the FINAL likelihood at the optimum is always evaluated uncapped.
+    t_stop = n if exact_cap is None else min(n, exact_cap)
+    while t < t_stop and not steady:
+        F = P[0, 0]
+        if not np.isfinite(F) or F <= 0:
+            return -np.inf, np.nan
         v = x[t] - a[0]
         ssq += v * v / F
         logdet += np.log(F)
-        if steady:
-            a = T @ a + K * v
-            continue
         M = T @ P[:, 0]
         K = M / F
         a = T @ a + K * v
-        Pn = T @ P @ T.T + RR - np.outer(K, M)
+        # K[:,None]*M is np.outer minus its Python wrapper overhead
+        Pn = T @ P @ Tt + RR - K[:, None] * M
         if np.abs(Pn - P).max() <= 1e-10 * (1.0 + np.abs(Pn).max()):
             steady = True
         P = Pn
+        t += 1
+    if t < n:
+        # steady phase as Python-float list arithmetic exploiting the
+        # companion structure: (T·a)[j] = phi_j·a_0 + a_{j+1} — exactly
+        # the two nonzero terms the dense matvec sums (its zero terms add
+        # exact 0.0), so results are IEEE-identical at ~1/30 the cost
+        logF = float(np.log(F))
+        Fv = float(F)
+        al = a.tolist()
+        Kl = K.tolist()
+        xl = x.tolist()
+        phl = phi.tolist() + [0.0] * (r - p_)
+        for t in range(t, n):
+            v = xl[t] - al[0]
+            ssq += v * v / Fv
+            logdet += logF
+            a0 = al[0]
+            for j in range(r - 1):
+                al[j] = phl[j] * a0 + al[j + 1] + Kl[j] * v
+            al[r - 1] = phl[r - 1] * a0 + Kl[r - 1] * v
     sigma2 = ssq / n
     if sigma2 <= 0:
         return -np.inf, np.nan
@@ -481,14 +531,16 @@ def _ml_refine(z, p, q, P, Q, m, use_mean, fit, maxiter=300, fixed=None):
         ar, ma, mu, parts_ = _expand_params(x, p, q, P, Q, m, use_mean)
         if not _factors_ok(parts_, m):
             return np.inf
-        ll, _ = _arma_exact_loglik(z - mu, ar, ma)
+        # capped exact transient inside the optimizer loop (see
+        # _arma_exact_loglik); the final loglik below is uncapped
+        ll, _ = _arma_exact_loglik(z - mu, ar, ma, exact_cap=300)
         return -ll if np.isfinite(ll) else np.inf
 
     if not np.isfinite(nll(x_css[free])):
         return fit
     xb, fb = nelder_mead(nll, x_css[free], lo[free], hi[free],
                          max_iter=maxiter, tol_std=1e-8, init_step=0.05,
-                         zero_pert=0.05)
+                         zero_pert=0.05, tol_rel=1e-8)
     if not np.isfinite(fb):
         return fit
     x_full = fixed_full.copy()
@@ -762,7 +814,7 @@ def auto_arima(y, m=1, max_p=5, max_q=5, max_P=2, max_Q=2, max_d=2, max_D=1,
         # budget at the end (the reference's CSS-approximation-then-refit
         # pattern, arima.py:1858-1859)
         fit = arima_fit(y, (p, d, q), (P, D, Q), m, include_mean=bool(c),
-                        maxiter=min(maxiter, 150))
+                        maxiter=min(maxiter, 100))
         val = np.inf if fit is None else fit["aicc"]
         tried[key] = val
         return val, fit

@@ -28,8 +28,14 @@ def nelder_mead(
     max_iter: int = 1000,
     tol_std: float = 1e-4,
     adaptive: bool = True,
+    tol_rel: float = 0.0,
 ) -> tuple[np.ndarray, float]:
-    """Minimize fn over the box [lower, upper]; returns (x_best, f_best)."""
+    """Minimize fn over the box [lower, upper]; returns (x_best, f_best).
+
+    Convergence: simplex f-std < tol_std + tol_rel·|f_best| — the relative
+    term matters for CSS/likelihood objectives whose magnitude scales with
+    n (an absolute 1e-8 on f ≈ −2000 demands ~1e-12 relative agreement and
+    burns hundreds of extra evaluations refining noise)."""
     x0 = np.clip(np.asarray(x0, dtype=np.float64), lower, upper)
     n = x0.size
     if adaptive and n > 0:
@@ -50,7 +56,7 @@ def nelder_mead(
     for _ in range(max_iter):
         order = np.argsort(f, kind="stable")
         best, second_worst, worst = order[0], order[-2], order[-1]
-        if np.all(np.isfinite(f)) and np.std(f) < tol_std:
+        if np.all(np.isfinite(f)) and np.std(f) < tol_std + tol_rel * abs(f[best]):
             break
         centroid = (simplex.sum(axis=0) - simplex[worst]) / n
         xr = clamp(centroid + alpha * (centroid - simplex[worst]))
