@@ -204,46 +204,86 @@ def _ma_invert_fast(b: np.ndarray, ma: np.ndarray) -> np.ndarray:
     nz = np.flatnonzero(mac)
     if nz.size == 0:
         return b
-    if nz.size == 1:
-        lag, c = int(nz[0]) + 1, float(mac[nz[0]])
-        if lag == 1 and abs(c) <= 0.9:
+    if nz.size == 1 and nz[0] == 0:
+        c = float(mac[0])
+        if abs(c) <= 0.9:
             # e = Σ_j (−c)^j b_{t−j}: geometric kernel truncated at 1e-13
             K = min(n, int(np.ceil(-13 * np.log(10) / np.log(abs(c))))
                     if c != 0 else 1)
             pi = np.power(-c, np.arange(K + 1))
             return np.convolve(b, pi)[:n]
-        # single lag L: the L residue classes are independent lag-1
-        # recursions over ⌈n/L⌉ chunks — solve all of them EXACTLY with
-        # one FFT convolution along the chunk axis against the full-length
-        # geometric kernel (kernel length = chunk count, so this is the
-        # recursion's closed form, no truncation; |c| < 1 keeps the powers
-        # bounded). The sequential chunk loop costs one numpy dispatch per
-        # chunk — ~2 µs × n/L steps — which dominates for small L.
-        nch = -(-n // lag)
-        pad = nch * lag - n
-        Bm = np.concatenate([b, np.zeros(pad)]).reshape(nch, lag)
-        ker = np.power(-c, np.arange(nch))
+        return _ma_filter_seeded(b, ma, [])
+    lags = nz + 1
+    g = int(np.gcd.reduce(lags))
+    if g >= 2:
+        # all lags share a divisor g (any purely-seasonal factor): the g
+        # residue classes are independent recursions in the DEFLATED
+        # polynomial over ⌈n/g⌉ chunks — solve all of them EXACTLY with
+        # one FFT convolution along the chunk axis against the full-
+        # length π kernel of the deflated poly (kernel length = chunk
+        # count, so this is the recursion's closed form, no truncation —
+        # valid at ANY invertible coefficient, boundary included). The
+        # kernel recursion is ⌈n/g⌉ Python steps — ~30× fewer than the
+        # per-element loop.
+        nch = -(-n // g)
+        dl = (lags // g).tolist()
+        dc = mac[nz].tolist()
+        ker = [0.0] * nch
+        ker[0] = 1.0
+        for k in range(1, nch):
+            acc = 0.0
+            for dlag, c in zip(dl, dc):
+                if k >= dlag:
+                    acc -= c * ker[k - dlag]
+            ker[k] = acc
+        pad = nch * g - n
+        Bm = (np.concatenate([b, np.zeros(pad)]) if pad else b).reshape(
+            nch, g)
         nfft = 1 << (2 * nch - 1).bit_length()
         E = np.fft.irfft(
             np.fft.rfft(Bm, nfft, axis=0)
-            * np.fft.rfft(ker, nfft)[:, None], nfft, axis=0)[:nch]
+            * np.fft.rfft(np.asarray(ker), nfft)[:, None],
+            nfft, axis=0)[:nch]
         e = E.reshape(-1)
         return e[:n] if pad else e
-    if nz.size >= 2:
-        # spectral division: 1/ma(ω) on an nfft ≈ 2n grid is π(B)
-        # circularly aliased; alias-free exactly when π decays within the
-        # slack, verified by the π tail check (near-boundary roots fail
-        # it and take the exact recursion)
-        nfft = 1 << int(2 * n + 512).bit_length()
-        maf = np.fft.rfft(ma, nfft)
-        mag = np.abs(maf)
-        if mag.min() >= 1e-6 * mag.max():
-            recip = 1.0 / maf
-            pi_tail = np.fft.irfft(recip, nfft)[-(ma.size + 64):]
-            if np.abs(pi_tail).max() <= 1e-12:
-                return np.fft.irfft(np.fft.rfft(b, nfft) * recip,
-                                    nfft)[:n]
+    e = _spectral_invert(b, ma)
+    if e is not None:
+        return e
     return _ma_filter_seeded(b, ma, [])
+
+
+def _ma_invert_auto(b: np.ndarray, ma: np.ndarray, parts=None,
+                    m: int = 1) -> np.ndarray:
+    """Route 1/ma(B)·b (zero initial conditions) to the cheapest valid
+    method, using the factor structure when available: well-separated
+    roots take one spectral division of the product; boundary-hugging
+    factors take the factored two-stage path whose seasonal stage (the
+    deflated-residue FFT) is exact at any coefficient."""
+    if ma.size <= 1 or not np.any(ma[1:]):
+        return b
+    if parts is not None and m > 1 and parts[1].size and parts[3].size:
+        e = _spectral_invert(b, ma)
+        if e is not None:
+            return e
+        e = _ma_invert_fast(b, _ma_poly(parts[1]))
+        return _ma_invert_fast(e, _seasonal_expand(_ma_poly(parts[3]), m))
+    return _ma_invert_fast(b, ma)
+
+
+def _spectral_invert(b: np.ndarray, ma: np.ndarray) -> np.ndarray | None:
+    """Spectral division: 1/ma(ω) sampled on an nfft grid is π(B) = 1/ma(B)
+    circularly aliased; alias-free exactly when π decays within the
+    nfft − n slack. Feasibility (and the tier of slack needed) is decided
+    by a Durbin root-modulus check on ma — roots outside e^{34/slack}
+    bound the alias/truncation error at ~e⁻³⁴. Returns None when roots
+    hug the boundary too closely for even the 2n-slack tier."""
+    n = b.size
+    for slack in (512, max(n, 512)):
+        if _roots_ok(ma, float(np.exp(34.0 / slack))):
+            nfft = 1 << int(n + slack).bit_length()
+            maf = np.fft.rfft(ma, nfft)
+            return np.fft.irfft(np.fft.rfft(b, nfft) / maf, nfft)[:n]
+    return None
 
 
 def _css_resid_approx(z: np.ndarray, ar: np.ndarray, ma: np.ndarray,
@@ -263,15 +303,7 @@ def _css_resid_approx(z: np.ndarray, ar: np.ndarray, ma: np.ndarray,
     if nq == 0 or n < 512:
         return None
     a = np.convolve(z, ar)[:n]
-    e = a[np_:]
-    if parts is not None and m > 1:
-        theta, Theta = parts[1], parts[3]
-        if theta.size:
-            e = _ma_invert_fast(e, _ma_poly(theta))
-        if Theta.size:
-            e = _ma_invert_fast(e, _seasonal_expand(_ma_poly(Theta), m))
-        return e
-    return _ma_invert_fast(e, ma)
+    return _ma_invert_auto(a[np_:], ma, parts=parts, m=m)
 
 
 def _ma_filter_seeded(a: np.ndarray, ma: np.ndarray,
@@ -549,7 +581,8 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None,
 
 
 def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
-                       exact_cap: int | None = None):
+                       exact_cap: int | None = None, parts=None,
+                       m: int = 1):
     """Exact Gaussian log-likelihood of a stationary ARMA on the centered
     series x via the Kalman filter in Harvey's state-space form (the same
     form R's arima / the reference's C++ ML step uses, src/arima.cpp):
@@ -652,7 +685,23 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
         logF = float(np.log(F))
         Fv = float(F)
         u = np.convolve(x, ar)[:n]
-        v_steady = _ma_filter_seeded(u[t:], ma, vhist)
+        b = u[t:].copy()
+        nma = ma.size - 1
+        if nma:
+            # fold the seed history into the first deg(ma) inputs so the
+            # zero-init fast inverters apply: v_i = ũ_i − Σ ma_k v_{i−k}
+            # with ũ_i = u_i − Σ_{k>i} ma_k·v_seed
+            seed = ([0.0] * max(nma - len(vhist), 0)
+                    + [float(s) for s in vhist[-nma:]])
+            mac = ma[1:]
+            for i in range(min(nma, b.size)):
+                acc = 0.0
+                for k in range(i + 1, nma + 1):
+                    c = mac[k - 1]
+                    if c != 0.0:
+                        acc += c * seed[nma + i - k]
+                b[i] -= acc
+        v_steady = _ma_invert_auto(b, ma, parts=parts, m=m)
         ssq += float(np.dot(v_steady, v_steady)) / Fv
         logdet += (n - t) * logF
     sigma2 = ssq / n
@@ -701,7 +750,8 @@ def _ml_refine(z, p, q, P, Q, m, use_mean, fit, maxiter=300, fixed=None):
         # own innovation recursion (error ≤ ~1e-6 relative for invertible
         # models, plateauing for near-boundary MA roots where no cap short
         # of n converges — measured battery in round-5 notes)
-        ll, _ = _arma_exact_loglik(z - mu, ar, ma, exact_cap=80)
+        ll, _ = _arma_exact_loglik(z - mu, ar, ma, exact_cap=80,
+                                   parts=parts_, m=m)
         return -ll if np.isfinite(ll) else np.inf
 
     if not np.isfinite(nll(x_css[free])):
