@@ -125,11 +125,33 @@ def q_rollup_1h(spark, sf_dir):
     return out.select("event_type", "bucket", *_stats_r())
 
 
-def q_rollup_5m_cascade(spark, sf_dir):
-    """Continuous-aggregate cascade 1m→5m; oracle computes 5m directly —
-    proves tier re-aggregation ≡ direct rollup."""
-    base = rollup_base(_t(spark, sf_dir, "events"), "ts", ["event_type"], "value", "1m")
-    out = rollup_cascade(base, ["event_type"], "5m")
+def q_stream_5m_cascade(spark, sf_dir):
+    """Streaming-parity leg INSIDE the grading window (round-5 brief #4;
+    replaces the redundant batch-only rollup_5m_cascade sibling, same
+    oracle): the 1m base tier is produced by Structured Streaming
+    (readStream over the events parquet, availableNow backlog) sunk
+    through the EXACTLY-ONCE batch-id commit protocol
+    (streaming/rollup.py:55 commit_batch → marker), merge-on-read of
+    committed batches only, then the batch cascade 1m→5m. Green ⟺ the
+    streamed-and-committed 1m cascade ≡ the oracle's direct 5m SQL."""
+    import tempfile
+
+    from sparkts.streaming.rollup import (read_tier_stream_output,
+                                          stream_rollup, write_tier_stream)
+    base_dir = tempfile.mkdtemp(prefix="stream5m_")
+    ev_schema = _t(spark, sf_dir, "events").schema
+    # the file stream source wants a directory; glob-filter to the events
+    # table within the sf dir
+    stream = (spark.readStream.schema(ev_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    tier = stream_rollup(stream, "ts", ["event_type"], "value", "1m")
+    q = write_tier_stream(tier, f"{base_dir}/out", f"{base_dir}/ckpt",
+                          available_now=True)
+    q.awaitTermination()
+    one_m = read_tier_stream_output(spark, f"{base_dir}/out",
+                                    ["event_type"])
+    out = rollup_cascade(one_m, ["event_type"], "5m")
     return out.select("event_type", "bucket", *_stats_r())
 
 
@@ -2002,7 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # tier rollups / retention / gap-fill
         "rollup_1h": q_rollup_1h,
-        "rollup_5m_cascade": q_rollup_5m_cascade,
+        "stream_5m_cascade": q_stream_5m_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "retention_1h": q_retention_1h,
         "gapfill_ffill": q_gapfill_ffill,
@@ -4720,7 +4742,7 @@ def _oracle_base() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS bucket, {stats}
             FROM events GROUP BY 1, 2
         """,
-        "rollup_5m_cascade": f"""
+        "stream_5m_cascade": f"""
             SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket, {stats}
             FROM events GROUP BY 1, 2
         """,

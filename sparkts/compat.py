@@ -63,6 +63,14 @@ class StatsForecast(SparkForecast):
             return df, False
         if isinstance(df, pd.DataFrame):
             return _active_spark().createDataFrame(df), True
+        if type(df).__module__.split(".")[0] == "polars":
+            # the reference accepts polars frames everywhere
+            # (core.py:28, _is_native core.py:1985-1989); no polars wheel
+            # ships in this environment, so name the gap precisely
+            raise TypeError(
+                "polars DataFrames are not supported in this environment "
+                "(no polars wheel available) — convert with .to_pandas() "
+                "or pass a Spark DataFrame")
         raise TypeError(
             f"df must be a pandas or Spark DataFrame, got {type(df).__name__}")
 
@@ -170,4 +178,23 @@ class StatsForecast(SparkForecast):
             raise ValueError("forecast_fitted_values needs df")
         sdf, was_pd = self._to_spark(df)
         out = super().fitted_values(sdf, **kw)
+        return self._maybe_pandas(out, was_pd)
+
+    def simulate(self, df=None, h=None, **kw):
+        """Sample trajectories, pandas in → pandas out (reference
+        core.py:1076 simulate signature; innovation distributions via
+        ``error_dist``/``error_params``)."""
+        if df is None or h is None:
+            raise ValueError("simulate needs df and h")
+        sdf, was_pd = self._to_spark(df)
+        out = super().simulate(sdf, h=h, **kw)
+        return self._maybe_pandas(out, was_pd)
+
+    def cross_validation_fitted_values(self, df=None, h=None, **kw):
+        """Train-window fitted values per cv window, pandas in → pandas
+        out (reference core.py:1263)."""
+        if df is None or h is None:
+            raise ValueError("cross_validation_fitted_values needs df and h")
+        sdf, was_pd = self._to_spark(df)
+        out = super().cross_validation_fitted_values(sdf, h=h, **kw)
         return self._maybe_pandas(out, was_pd)

@@ -309,6 +309,80 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return bytes(header + info + body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, filters=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG —
+    stdlib zlib + struct only (round-5 brief #5; the container has no
+    PIL). ``filters`` optionally gives the per-row filter type (0 none,
+    1 sub, 2 up, 3 average, 4 paeth; default all 0) so the decoder's
+    unfiltering paths can be exercised — every type is a pure numpy
+    transform here and the exact inverse lives in
+    ``sparkts.operators.multimodal.decode_png``."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    filters = [0] * h if filters is None else list(filters)
+    if len(filters) != h:
+        raise ValueError("one filter type per row required")
+    raw = px.reshape(h, w * 3).astype(np.int64)
+    zero = np.zeros(w * 3, dtype=np.int64)
+    body = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        prior = raw[r - 1] if r else zero
+        left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int64), prior[:-3]])
+        f = int(filters[r])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prior
+        elif f == 3:
+            out = cur - (left + prior) // 2
+        elif f == 4:
+            p = left + prior - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            out = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        body += bytes([f]) + (out % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_from_text(text: str, width: int = 17, height: int = 15) -> bytes:
+    """Deterministic PNG whose pixels are the document's own bytes (the
+    PNG counterpart of ``bmp_from_text``); rows cycle through all five
+    filter types so a decode exercises every unfilter path."""
+    raw = text.encode("utf-8")
+    need = width * height * 3
+    reps = -(-need // max(len(raw), 1))
+    buf = (raw * reps)[:need] if raw else b"\x00" * need
+    px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+    return encode_png(px, filters=[r % 5 for r in range(height)])
+
+
 def bmp_from_text(text: str, width: int = 17, height: int = 15) -> bytes:
     """Deterministic BMP whose pixels are the document's own bytes: the
     UTF-8 text, repeated to width·height·3 bytes, reshaped (h, w, RGB).

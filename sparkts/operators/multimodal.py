@@ -6,21 +6,20 @@ the JVM never interprets the bytes (no codec on the scan path, full column
 pruning), and all interpretation happens in Arrow-batched Python via
 ``mapInPandas`` with bounded batch memory.
 
-The actual byte-level decoders (PIL/ffmpeg/torchaudio) are NOT available in
-this environment, so ``decode`` is a clearly-marked STUB: by default it
-raises NotImplementedError; with ``fake=True`` it produces a deterministic
-pure-function-of-bytes pseudo-decode so the surrounding Spark plumbing —
-schema derivation, batching, partition sizing, downstream feature columns —
-is real and testable end-to-end. Swapping in a real decoder changes ONE
-function body and nothing else.
+Decoding is REAL for two containers — 24-bit BMP (pure numpy, round 4)
+and 8-bit truecolor PNG (numpy + stdlib zlib, round 5) — plus the MBMP
+concatenated-BMP video stand-in. Codecs that genuinely need PIL/ffmpeg
+(JPEG/GIF/mp4/audio) raise NotImplementedError inside the worker: the
+documented swap-in point, one function body each. ``fake=True`` keeps the
+deterministic md5 pseudo-decode for plumbing tests over arbitrary bytes.
 
 Operators:
 * ``attach_media_meta``  — typed metadata struct (codec-free: size, xxhash,
   magic-byte sniff) computed JVM-side, no Python.
-* ``decode_features``    — mapInPandas: payload → fixed-dim float feature
-  vector (stub/fake), batch-bounded.
-* ``resize_images`` / ``sample_frames`` — same shape, stubbed transforms
-  that document the real UDF signatures.
+* ``decode_features``    — mapInPandas: payload → per-channel pixel
+  statistics (real decode) or fixed-dim pseudo-features, batch-bounded.
+* ``resize_images`` / ``sample_frames`` — real for BMP/PNG frames,
+  nearest-neighbor resample re-encoded in the same container.
 """
 
 from __future__ import annotations
@@ -108,11 +107,104 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
-def _bmp_features(buf: bytes) -> np.ndarray:
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """REAL pure-numpy+zlib decoder for 8-bit truecolor PNG (round-5
+    brief #5 — replaces the former NotImplementedError stub): parses the
+    chunk stream, inflates the concatenated IDAT payload, and un-applies
+    all five scanline filters (None/Sub/Up/Average/Paeth, the PNG spec's
+    filter method 0). Returns (h, w, 3) uint8 RGB. The inverse of
+    ``sparkts.datagen.encode_png``. Palette/alpha/16-bit/interlaced
+    variants raise NotImplementedError — the documented swap-in point."""
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        ln, tag = struct.unpack_from(">I4s", buf, pos)
+        payload = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})")
+    rb = w * 3
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if data.size != h * (rb + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = data.reshape(h, rb + 1)
+    out = np.zeros((h, rb), dtype=np.int64)
+    zero = np.zeros(rb, dtype=np.int64)
+    for r in range(h):
+        f = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int64)
+        prior = out[r - 1] if r else zero
+        if f == 0:
+            out[r] = cur
+        elif f == 1:
+            # Sub: recon[x] = filt[x] + recon[x−3] ⇒ per-channel prefix
+            # sum (mod-256 addition commutes with the cumsum)
+            out[r] = np.cumsum(cur.reshape(w, 3), axis=0).reshape(rb) % 256
+        elif f == 2:
+            out[r] = (cur + prior) % 256
+        elif f in (3, 4):
+            # Average/Paeth have an intra-row sequential dependency on the
+            # reconstructed left neighbor — per-pixel loop, vectorized
+            # across the 3 channels
+            rec = np.zeros(rb, dtype=np.int64)
+            for x in range(w):
+                s = 3 * x
+                left = rec[s - 3 : s] if x else np.zeros(3, dtype=np.int64)
+                up = prior[s : s + 3]
+                ul = (prior[s - 3 : s] if x
+                      else np.zeros(3, dtype=np.int64))
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = (np.abs(p - left), np.abs(p - up),
+                                  np.abs(p - ul))
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                rec[s : s + 3] = (cur[s : s + 3] + pred) % 256
+            out[r] = rec
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def _decode_image(buf: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to a real decoder (BMP or PNG)."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    raise NotImplementedError(
+        "media decode beyond BMP/PNG requires PIL/ffmpeg — unavailable "
+        "in this environment")
+
+
+def _image_features(buf: bytes) -> np.ndarray:
     """Real decoded-image features: [h, w, mean_R, mean_G, mean_B,
-    std_R, std_G, std_B] — each a pure function of the decoded pixels, so
-    any engine that can reach the original bytes recomputes them."""
-    px = decode_bmp(buf).astype(np.float64)
+    std_R, std_G, std_B] — each a pure function of the decoded pixels
+    (BMP or PNG), so any engine that can reach the original bytes
+    recomputes them."""
+    px = _decode_image(buf).astype(np.float64)
     h, w, _ = px.shape
     means = px.reshape(-1, 3).mean(axis=0)
     stds = px.reshape(-1, 3).std(axis=0)
@@ -128,10 +220,11 @@ def decode_features(
 ) -> DataFrame:
     """payload binary → ``features array<float>`` via ``mapInPandas``.
 
-    BMP payloads get the REAL pure-numpy decode (``decode_bmp`` →
-    per-channel pixel statistics, 8 floats). Other codecs (JPEG/PNG/audio)
-    still need PIL/ffmpeg, which this container lacks: they raise
-    NotImplementedError inside the worker — the documented swap-in point.
+    BMP and PNG payloads get the REAL pure-numpy decode (``decode_bmp`` /
+    ``decode_png`` → per-channel pixel statistics, 8 floats). Other codecs
+    (JPEG/audio/video) still need PIL/ffmpeg, which this container lacks:
+    they raise NotImplementedError inside the worker — the documented
+    swap-in point.
     ``fake=True`` keeps the md5 pseudo-decode (dim floats) for plumbing
     tests that exercise arbitrary payload bytes.
 
@@ -150,12 +243,7 @@ def decode_features(
     def one(b: bytes) -> np.ndarray:
         if fake:
             return _fake_decode(b, dim)
-        if b[:2] == b"BM":
-            return _bmp_features(b)
-        raise NotImplementedError(
-            "non-BMP media decode requires PIL/ffmpeg — unavailable in "
-            "this environment; BMP decodes natively, or pass fake=True "
-            "for the deterministic pseudo-decode")
+        return _image_features(b)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,24 +259,26 @@ def resize_images(df: DataFrame, payload_col: str = "media",
                   width: int = 224, height: int = 224,
                   batch_rows: int = 64) -> DataFrame:
     """Image resize inside the same mapInPandas shape as decode_features.
-    REAL for BMP payloads (nearest-neighbor index resample, re-encoded as
-    BMP — pure numpy); other codecs raise NotImplementedError at execution
-    time (not plan time), the documented PIL swap-in point."""
+    REAL for BMP and PNG payloads (nearest-neighbor index resample,
+    re-encoded in the same container — pure numpy); other codecs raise
+    NotImplementedError at execution time (not plan time), the documented
+    PIL swap-in point."""
     from sparkts.datagen import encode_bmp
 
     schema = df.schema
     cols = [f.name for f in df.schema.fields]
 
     def one(b: bytes) -> bytes:
-        if b[:2] != b"BM":
-            raise NotImplementedError(
-                f"resize_images({width}x{height}) on non-BMP payloads "
-                "needs an image codec — unavailable in this environment")
-        px = decode_bmp(b)
+        png = b[:8] == _PNG_SIG
+        px = _decode_image(b)
         h, w, _ = px.shape
         ri = (np.arange(height) * h) // height
         ci = (np.arange(width) * w) // width
-        return encode_bmp(px[ri][:, ci])
+        out = px[ri][:, ci]
+        if png:
+            from sparkts.datagen import encode_png
+            return encode_png(out)
+        return encode_bmp(out)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -103,3 +103,33 @@ def test_cross_validation_and_fitted_values_pandas(spark, pdf):
     assert isinstance(cv, pd.DataFrame) and len(cv) == 20
     fv = sf.forecast_fitted_values(df=pdf)
     assert isinstance(fv, pd.DataFrame) and len(fv) == len(pdf)
+
+
+def test_simulate_pandas_roundtrip(spark, pdf):
+    sf = StatsForecast([Naive()], freq="D")
+    out = sf.simulate(df=pdf, h=4, n_paths=3, seed=1)
+    assert isinstance(out, pd.DataFrame)
+    # 2 series x 4 steps x 3 paths
+    assert len(out) == 2 * 4 * 3
+    assert {"unique_id", "ds", "sample_id", "Naive"} <= set(out.columns)
+    # deterministic under a repeat call
+    out2 = sf.simulate(df=pdf, h=4, n_paths=3, seed=1)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["unique_id", "ds", "sample_id"]).reset_index(drop=True),
+        out2.sort_values(["unique_id", "ds", "sample_id"]).reset_index(drop=True))
+
+
+def test_cross_validation_fitted_values_pandas_roundtrip(spark, pdf):
+    sf = StatsForecast([Naive()], freq="D")
+    out = sf.cross_validation_fitted_values(df=pdf, h=5, n_windows=2)
+    assert isinstance(out, pd.DataFrame)
+    assert {"unique_id", "ds", "cutoff", "y", "Naive"} <= set(out.columns)
+    assert out["cutoff"].nunique() == 2
+
+
+def test_polars_input_names_the_gap(spark, pdf):
+    class _FakePolars:
+        pass
+    _FakePolars.__module__ = "polars.dataframe"
+    with pytest.raises(TypeError, match="polars.*not supported"):
+        StatsForecast([Naive()], freq="D").forecast(df=_FakePolars(), h=3)
