@@ -148,6 +148,43 @@ class SparkForecast:
         self.fallback_counts_ = {repr(m): sc.accumulator(0) for m in self.models}
         return self.forecast_times_, self.fallback_counts_
 
+    def metrics_table(self, spark: SparkSession | None = None) -> DataFrame:
+        """Per-model wall-time + fallback counters as a queryable
+        DataFrame (SURVEY §2.7 wall-time row; the reference exposes
+        ``forecast_times_`` as a dict, core.py:960 — here it's a table a
+        pipeline can join/append to its lineage). Accumulator values are
+        complete only after an ACTION has consumed the forecast output;
+        call this after the count/write, not after the lazy transform."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("no active SparkSession for metrics_table")
+        rows = [
+            (name,
+             float(acc.value),
+             int(self.fallback_counts_[name].value)
+             if name in self.fallback_counts_ else 0)
+            for name, acc in self.forecast_times_.items()
+        ]
+        return spark.createDataFrame(
+            rows, "model string, forecast_seconds double, fallbacks long")
+
+    def log_metrics(self, lineage_store, stage: str = "forecast",
+                    run_id: str = "") -> None:
+        """Append the per-model metrics to a ``LineageStore`` manifest —
+        the run-over-run wall-time record a long-lived pipeline keeps
+        (part_id = model alias, n_out = fallback count, rollup_hash =
+        wall seconds; same columns every lineage row carries)."""
+        rows = [
+            {"stage": stage, "part_id": name, "watermark": 0,
+             "n_in": 0,
+             "n_out": int(self.fallback_counts_[name].value)
+             if name in self.fallback_counts_ else 0,
+             "rollup_hash": f"{float(acc.value):.6f}",
+             "run_id": run_id}
+            for name, acc in self.forecast_times_.items()
+        ]
+        lineage_store.append(rows)
+
     # ------------------------------------------------------------------ #
     def forecast(
         self,

@@ -163,3 +163,23 @@ def test_per_model_metrics_accumulators(spark, panel_df):
     assert eng.fallback_counts_["SeasonalNaive"].value == 0
     # kernel wall time accumulated across executors
     assert eng.forecast_times_["SeasonalNaive"].value > 0
+
+
+def test_metrics_table_and_lineage_log(spark, panel_df, tmp_path):
+    from sparkts.engine import SparkForecast
+    from sparkts.kernels import FailingModel, Naive, SeasonalNaive
+    from sparkts.lineage import LineageStore
+
+    eng = SparkForecast([SeasonalNaive(24), FailingModel()], freq="h",
+                        fallback_model=Naive())
+    eng.forecast(panel_df, h=4).count()
+    n_series = panel_df.select("unique_id").distinct().count()
+    mt = {r["model"]: r for r in eng.metrics_table(spark).collect()}
+    assert mt["SeasonalNaive"]["forecast_seconds"] > 0
+    assert mt["FailingModel"]["fallbacks"] == n_series
+    assert mt["SeasonalNaive"]["fallbacks"] == 0
+    store = LineageStore(spark, str(tmp_path / "pipe"))
+    eng.log_metrics(store, stage="bench", run_id="r5")
+    got = {r["part_id"]: r for r in store.read().collect()}
+    assert got["FailingModel"]["n_out"] == n_series
+    assert float(got["SeasonalNaive"]["rollup_hash"]) > 0
