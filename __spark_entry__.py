@@ -259,15 +259,25 @@ def q_cv_naive(spark, sf_dir):
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped aggregate over lineitem."""
     li = _t(spark, sf_dir, "lineitem")
+    # price sums in DECIMAL: double addition is order-dependent, and at
+    # sf1 the partial-agg-order error (~1e-3 on a ~5e10 sum) crosses the
+    # 4dp rounding the oracle compares at. Decimal accumulation is exact
+    # and associative — scale-independent greenness (and TPC-H's own
+    # prices are decimals). Cast-to-6dp per row is deterministic on both
+    # engines; the per-row double product is IEEE-identical first.
+    dec = "decimal(30,6)"
     return (
         li.where(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast(dec)), 4)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(dec)), 4)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
+                F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast(dec)), 4
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -282,9 +292,12 @@ def q_revenue_by_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
+            # decimal accumulation: order-independent at any scale (see
+            # q_pricing_summary)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+                F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast("decimal(30,6)")), 4
+            ).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -4870,9 +4883,9 @@ def _oracle_base() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
@@ -4881,7 +4894,8 @@ def _oracle_base() -> dict[str, str]:
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue,
                    count(DISTINCT o_orderkey) AS n_orders
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1

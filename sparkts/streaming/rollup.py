@@ -106,6 +106,44 @@ def write_tier_stream(
     return writer.start()
 
 
+def commit_tier_batch(df: DataFrame, out_path: str) -> int:
+    """Transactional BATCH publish of a tier table through the same
+    batch-id commit protocol the streaming sink uses (round-5 stretch —
+    the parquet+manifest stand-in for an Iceberg snapshot commit, Iceberg
+    jars being unavailable offline): the new generation lands in
+    ``data/batch=<id>`` first, the marker second, so a reader
+    (``read_tier_stream_output``) sees the PREVIOUS generation until the
+    marker lands and never a torn write. Batch and streaming writers can
+    share one output directory — ids are allocated past whatever is
+    committed, and latest-wins merge-on-read applies uniformly. Returns
+    the committed generation id."""
+    spark = df.sparkSession
+    try:
+        committed = [
+            int(r[0]) for r in spark.read.parquet(f"{out_path}/commits")
+            .select("batch_id").collect()]
+    except Exception:
+        committed = []
+    new_id = (max(committed) + 1) if committed else 0
+    commit_batch(df, new_id, out_path)
+    return new_id
+
+
+def read_tier_snapshot(spark, out_path: str) -> DataFrame:
+    """Snapshot read for batch-published generations: the HIGHEST
+    committed batch id replaces the table wholesale (Iceberg-snapshot
+    semantics), unlike ``read_tier_stream_output``'s per-bucket
+    latest-wins merge (streaming upsert semantics). Torn writes (data
+    without marker) stay invisible either way."""
+    committed = [
+        int(r[0]) for r in spark.read.parquet(f"{out_path}/commits")
+        .select("batch_id").collect()]
+    if not committed:
+        raise ValueError(f"nothing committed under {out_path}")
+    return (spark.read.parquet(f"{out_path}/data")
+            .where(F.col("batch") == max(committed)).drop("batch"))
+
+
 def read_tier_stream_output(spark, out_path: str, key_cols: list[str]) -> DataFrame:
     """Merge-on-read over the committed sink output: committed batches
     only (uncommitted orphans from a mid-write crash are invisible),

@@ -250,3 +250,31 @@ def test_stream_cascade_equals_batch_and_resumes(spark, events_dir,
     second.repartition(2).write.mode("append").parquet(src)
     run_stream()
     compare(full)
+
+
+def test_batch_transactional_commit(spark, events_dir, tmp_path_factory):
+    """commit_tier_batch publishes generations atomically: a reader sees
+    the previous generation until the marker lands; a torn write (data
+    directory without marker) stays invisible; generations interleave
+    with the streaming sink's ids."""
+    from sparkts.streaming import commit_tier_batch, read_tier_snapshot
+
+    out = str(tmp_path_factory.mktemp("txn")) + "/tier"
+    ev = spark.read.parquet(events_dir)
+    gen0 = rollup_base(ev, "ts", ["event_type"], "value", "1h")
+    assert commit_tier_batch(gen0, out) == 0
+    n0 = read_tier_snapshot(spark, out).count()
+    assert n0 == gen0.count()
+
+    # new generation with an extra filter — replaces the view atomically
+    gen1 = gen0.where("n_rows > 1")
+    assert commit_tier_batch(gen1, out) == 1
+    assert read_tier_snapshot(spark, out).count() == gen1.count() < n0
+
+    # torn write: data for id=7 lands but no marker → invisible
+    gen0.write.mode("overwrite").parquet(f"{out}/data/batch=7")
+    assert read_tier_snapshot(spark, out).count() == gen1.count()
+    # the next allocation skips PAST committed ids only (orphan id 7 is
+    # overwritten territory, not committed)
+    assert commit_tier_batch(gen0, out) == 2
+    assert read_tier_snapshot(spark, out).count() == n0

@@ -81,8 +81,21 @@ def main() -> None:
                user_id + k*{OFF} AS user_id,
                event_type, value, props
         FROM {src('events')} CROSS JOIN {copies}""")
+    # perturb the text per copy (k>0): a verbatim ×10 replication puts
+    # every document in a 10-clique of exact duplicates, which is not a
+    # larger version of the corpus — it quadratically inflates candidate
+    # pairs and makes the dedup-cluster transitive-closure oracle (a
+    # recursive CTE) combinatorial. A per-copy prefix breaks cross-copy
+    # shingles while copy 0 keeps the original corpus intact; n_chars
+    # stays = length(text) (the source invariant).
     write("documents", f"""
-        SELECT doc_id + k*{OFF} AS doc_id, text, lang, source, n_chars
+        SELECT doc_id + k*{OFF} AS doc_id,
+               CASE WHEN k = 0 THEN text
+                    ELSE 'variant ' || k || ' rev: ' || text END AS text,
+               lang, source,
+               CASE WHEN k = 0 THEN n_chars
+                    ELSE n_chars + length('variant ' || k || ' rev: ')
+               END AS n_chars
         FROM {src('documents')} CROSS JOIN {copies}""")
     # deterministic per-copy perturbation (not a pure rescale — cosine is
     # scale-invariant) so cross-copy vectors are near- but not exact
