@@ -28,33 +28,40 @@ def _loess(y: np.ndarray, q: int, degree: int = 1,
     to all input positions; may extrapolate). Tricube weights over the ``q``
     nearest points, local polynomial of ``degree``."""
     n = y.size
-    xs = np.arange(n, dtype=np.float64)
     if at is None:
-        at = xs
+        at = np.arange(n, dtype=np.float64)
+    else:
+        at = np.asarray(at, dtype=np.float64)
     q = min(max(int(q), 2), n)
-    out = np.empty(at.size)
-    for k, x0 in enumerate(at):
-        lo = int(np.clip(np.floor(x0) - q // 2, 0, n - q))
-        idx = slice(lo, lo + q)
-        xw = xs[idx]
-        d = np.abs(xw - x0)
-        dmax = d.max()
-        if dmax <= 0:
-            out[k] = y[int(x0)]
-            continue
-        w = (1 - (d / (dmax * 1.0001)) ** 3) ** 3
-        if degree == 0:
-            out[k] = float(np.dot(w, y[idx]) / w.sum())
-        else:
-            xc = xw - x0
-            sw, swx = w.sum(), float(np.dot(w, xc))
-            swx2 = float(np.dot(w, xc * xc))
-            swy, swxy = float(np.dot(w, y[idx])), float(np.dot(w, xc * y[idx]))
-            det = sw * swx2 - swx * swx
-            if abs(det) < 1e-12:
-                out[k] = swy / sw
-            else:
-                out[k] = (swx2 * swy - swx * swxy) / det  # intercept at x0
+    # Row-vectorized over evaluation points: same neighbor rule
+    # (lo = clip(floor(x0) − q//2, 0, n−q)) and the same per-row tricube /
+    # weighted-least-squares formulas as the scalar loop this replaces —
+    # only the reduction order changes (axis-1 sums vs np.dot), i.e. ~1 ulp.
+    lo = np.clip(np.floor(at).astype(np.int64) - q // 2, 0, n - q)
+    idx = lo[:, None] + np.arange(q)[None, :]          # (m, q) window indices
+    xw = idx.astype(np.float64)
+    d = np.abs(xw - at[:, None])
+    dmax = d.max(axis=1)
+    degenerate = dmax <= 0                             # window collapses to x0
+    dsafe = np.where(degenerate, 1.0, dmax)
+    w = (1 - (d / (dsafe * 1.0001)[:, None]) ** 3) ** 3
+    yw = y[idx]
+    if degree == 0:
+        out = (w * yw).sum(axis=1) / w.sum(axis=1)
+    else:
+        xc = xw - at[:, None]
+        sw = w.sum(axis=1)
+        swx = (w * xc).sum(axis=1)
+        swx2 = (w * xc * xc).sum(axis=1)
+        swy = (w * yw).sum(axis=1)
+        swxy = (w * xc * yw).sum(axis=1)
+        det = sw * swx2 - swx * swx
+        singular = np.abs(det) < 1e-12
+        out = np.where(singular, swy / sw,
+                       (swx2 * swy - swx * swxy)
+                       / np.where(singular, 1.0, det))  # intercept at x0
+    if degenerate.any():
+        out[degenerate] = y[at[degenerate].astype(np.int64)]
     return out
 
 
