@@ -243,7 +243,7 @@ def _ma_invert_fast(b: np.ndarray, ma: np.ndarray) -> np.ndarray:
         pad = nch * g - n
         Bm = (np.concatenate([b, np.zeros(pad)]) if pad else b).reshape(
             nch, g)
-        nfft = 1 << (2 * nch - 1).bit_length()
+        nfft = _next_fast_len(2 * nch - 1)
         E = np.fft.irfft(
             np.fft.rfft(Bm, nfft, axis=0)
             * np.fft.rfft(np.asarray(ker), nfft)[:, None],
@@ -284,7 +284,7 @@ def _spectral_invert(b: np.ndarray, ma: np.ndarray) -> np.ndarray | None:
     n = b.size
     for slack in (512, max(n, 512)):
         if _roots_ok(ma, float(np.exp(34.0 / slack))):
-            nfft = 1 << int(n + slack).bit_length()
+            nfft = _next_fast_len(int(n + slack))
             maf = np.fft.rfft(ma, nfft)
             return np.fft.irfft(np.fft.rfft(b, nfft) / maf, nfft)[:n]
     return None
@@ -363,6 +363,44 @@ def _ma_filter_seeded(a: np.ndarray, ma: np.ndarray,
     return np.asarray(epad[off:])
 
 
+def _next_fast_len(n: int) -> int:
+    """Smallest 5-smooth integer ≥ n (pocketfft's fast sizes). The FFT
+    paths below only need nfft ≥ a slack bound, not a power of two, and a
+    5-smooth size is up to ~1.6× smaller than the next power of two."""
+    if n <= 6:
+        return max(n, 1)
+    best = 1 << (n - 1).bit_length()
+    f5 = 1
+    while f5 < best:
+        f35 = f5
+        while f35 < best:
+            # smallest power-of-two multiple of f35 that reaches n
+            k = max(n + f35 - 1, 1) // f35
+            nf = f35 << max((k - 1).bit_length(), 0)
+            if n <= nf < best:
+                best = nf
+            f35 *= 3
+        f5 *= 5
+    return best
+
+
+def _ols_fast(X: np.ndarray, yv: np.ndarray) -> np.ndarray:
+    """OLS via the normal equations (k×k Cholesky solve) with an SVD-lstsq
+    fallback on singularity. The k here is the lag count (≤ ~80), so the
+    Gram matrix is tiny and this is ~20× cheaper than gelsd on a long
+    series; used only to SEED Nelder-Mead, where last-ulp beta noise is
+    immaterial."""
+    G = X.T @ X
+    try:
+        beta = np.linalg.solve(G, X.T @ yv)
+        if np.all(np.isfinite(beta)):
+            return beta
+    except np.linalg.LinAlgError:
+        pass
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    return beta
+
+
 def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
     """Hannan–Rissanen starting values for the CSS optimizer: a long-AR
     OLS pass produces residual proxies, then one OLS of z_t on its AR lags
@@ -385,7 +423,7 @@ def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
             X = np.column_stack([z[kl - j: n - j] for j in range(1, kl + 1)])
             yv = z[kl:]
             try:
-                beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+                beta = _ols_fast(X, yv)
                 e = np.concatenate([np.zeros(kl), yv - X @ beta])
             except np.linalg.LinAlgError:
                 e = None
@@ -400,7 +438,7 @@ def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
     cols += [z[L - l: n - l] for l in sar_lags]
     cols += [e[L - l: n - l] for l in sma_lags]
     try:
-        beta, *_ = np.linalg.lstsq(np.column_stack(cols), z[L:], rcond=None)
+        beta = _ols_fast(np.column_stack(cols), z[L:])
     except np.linalg.LinAlgError:
         return out
     if not np.all(np.isfinite(beta)):
