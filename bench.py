@@ -192,6 +192,28 @@ def main() -> None:
     extras["cv9_series_per_sec"] = round(n_series / timings["cv9_cheap_models"], 1)
     extras["cv9_n_series"] = n_series
 
+    # 9. heavy-model anchor on the driver's record: AutoARIMA (stepwise
+    # search + CSS/ML, season 7) over a daily panel. Reported as separate
+    # keys — NOT added to the headline total, which stays comparable
+    # across rounds; the full M4-shaped comparison lives in BENCH/HEAVY.md.
+    from sparkts.kernels.arima import AutoARIMA
+
+    n_heavy = int(os.environ.get("SPARKTS_BENCH_HEAVY_SERIES", "200"))
+    heavy_panel = panel_series(
+        spark, n_series=n_heavy, min_length=400, max_length=800, seed=2
+    ).cache()
+    heavy_panel.count()
+    hsf = SparkForecast([AutoARIMA(season_length=7)], freq="D",
+                        fallback_model=Naive())
+    best = float("inf")
+    for _ in range(max(reps - 1, 1)):
+        t0 = time.time()
+        hsf.forecast(heavy_panel, h=14).count()
+        best = min(best, time.time() - t0)
+    extras["heavy_autoarima_n_series"] = n_heavy
+    extras["heavy_autoarima_wall_s"] = round(best, 3)
+    extras["heavy_autoarima_series_per_sec"] = round(n_heavy / best, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
