@@ -44,46 +44,56 @@ def _etscalc(y, l0, b0, s0, m, trend, season, alpha, beta, gamma, phi):
     trajectory) — the scheme of the published R implementation.
     """
     n = y.size
-    f = np.empty(n, dtype=np.float64)
+    yl = y.tolist()          # Python floats: scalar arithmetic is ~10× the
+    f = [0.0] * n            # speed of numpy-scalar-in-a-loop, same doubles
     l = float(l0)
     b = float(b0) if trend != _N else 0.0
-    s = list(s0) if season != _N else []
+    # seasonal state as a circular buffer: c[pos] plays the s[m−1] role
+    # (the index applying to the current step); the prepend-and-drop
+    # update is c[pos] = snew; pos -= 1 — no O(m) list copy per step
+    c = [float(v) for v in s0] if season != _N else []
+    pos = m - 1
     bo_a = beta / alpha if alpha > 0 else 0.0
+    has_trend = trend != _N
+    seas_add = season == _A
+    seas_mul = season == _M
     for i in range(n):
         # one-step forecast from current states
-        if trend == _N:
-            q = l
-            phib = 0.0
-        else:
+        if has_trend:
             phib = phi * b
             q = l + phib
-        if season == _N:
-            fi = q
-        elif season == _A:
-            fi = q + s[m - 1]
         else:
-            fi = q * s[m - 1]
-        f[i] = fi
-        yi = y[i]
-        # de-seasonalized observation
-        if season == _N:
+            q = l
+            phib = 0.0
+        yi = yl[i]
+        if seas_add:
+            sm = c[pos]
+            f[i] = q + sm
+            p = yi - sm
+        elif seas_mul:
+            sm = c[pos]
+            f[i] = q * sm
+            p = _HUGE if abs(sm) < _TOL else yi / sm
+        else:
+            f[i] = q
             p = yi
-        elif season == _A:
-            p = yi - s[m - 1]
-        else:
-            p = _HUGE if abs(s[m - 1]) < _TOL else yi / s[m - 1]
         lnew = q + alpha * (p - q)
-        if trend != _N:
+        if has_trend:
             b = phib + bo_a * (lnew - q)
-        if season != _N:
-            if season == _A:
+        if seas_add or seas_mul:
+            if seas_add:
                 t = yi - q
             else:
                 t = _HUGE if abs(q) < _TOL else yi / q
-            snew = s[m - 1] + gamma * (t - s[m - 1])
-            s = [snew] + s[: m - 1]
+            c[pos] = sm + gamma * (t - sm)
+            pos = pos - 1 if pos else m - 1
         l = lnew
-    return f, l, b, s
+    if seas_add or seas_mul:
+        # reconstruct newest-first logical order: s[i] = c[(pos−m+1+i) % m]
+        s = [c[(pos - m + 1 + i) % m] for i in range(m)]
+    else:
+        s = []
+    return np.asarray(f), l, b, s
 
 
 def _lik(y, f, error):
