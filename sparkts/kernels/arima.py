@@ -451,6 +451,52 @@ def _hr_init(z: np.ndarray, p, q, P, Q, m) -> np.ndarray:
     return np.clip(out, -0.9, 0.9)
 
 
+def _fit_css_pure_ar(z: np.ndarray, p: int, P: int, m: int,
+                     use_mean: bool, span: float) -> np.ndarray | None:
+    """Closed-form CSS optimum for pure-AR models (q = Q = 0 and one of
+    p/P zero, so the expanded AR polynomial has no cross terms): the
+    conditional residual e_t = z_t − Σ φ_l z_{t−l} − c with
+    c = mu·(1 − Σφ) is LINEAR in (φ, c), so one OLS solve on the lagged
+    design IS the exact minimizer of the CSS objective the Nelder-Mead
+    path searches (reference src/arima.cpp CSS, same conditioning set).
+    Returns the coefficient vector in ``_expand_params`` order
+    (φ…, mean?) or None when the OLS optimum is inadmissible
+    (non-stationary roots, |mu| past the optimizer's mean bound ``span``,
+    unit-root mean blow-up, too few rows) — the caller then falls back to
+    the box-constrained Nelder-Mead path."""
+    lags = list(range(1, p + 1)) if p else [m * j for j in range(1, P + 1)]
+    L = lags[-1]
+    k = len(lags)
+    n = z.size
+    if n - L < k + int(use_mean) + 2:
+        return None
+    cols = [z[L - l: n - l] for l in lags]
+    if use_mean:
+        cols.append(np.ones(n - L))
+    try:
+        beta = _ols_fast(np.column_stack(cols), z[L:])
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(beta)):
+        return None
+    phi = beta[:k]
+    parts = ((phi, np.empty(0), np.empty(0), np.empty(0)) if p
+             else (np.empty(0), np.empty(0), phi, np.empty(0)))
+    if not _factors_ok(parts, m):
+        return None
+    x_full = np.empty(k + int(use_mean))
+    x_full[:k] = phi
+    if use_mean:
+        denom = 1.0 - float(np.sum(phi))
+        if abs(denom) < 1e-8:
+            return None
+        mu = float(beta[k]) / denom
+        if abs(mu) > span:
+            return None
+        x_full[-1] = mu
+    return x_full
+
+
 def _param_names(p, q, P, Q, use_mean):
     """Coefficient names in _expand_params order (reference naming: ar1…,
     ma1…, sar1…, sma1…, mean)."""
@@ -522,6 +568,23 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None,
     # OPTIMIZER searches; user-pinned AR/MA coefficients are taken as given
     # (reference fixed-params semantics — R arima only warns)
     check_roots = bool(free[: p + q + P + Q].any())
+
+    if (not fixed) and q == 0 and Q == 0 and p + P > 0 and (p == 0 or P == 0):
+        # pure-AR CSS is linear least squares — exact optimum, no NM
+        x_ols = _fit_css_pure_ar(z, p, P, m, use_mean,
+                                 float(hi_full[-1]) if use_mean else 0.0)
+        if x_ols is not None:
+            ar, ma, mu, parts = _expand_params(x_ols, p, q, P, Q, m, use_mean)
+            e = _css_resid(z - mu, ar, ma)
+            nu = max(e.size, 1)
+            sse = float(np.dot(e, e))
+            if np.isfinite(sse) and sse > 0:
+                sigma2 = sse / nu
+                loglik = -0.5 * nu * (np.log(2 * np.pi * sigma2) + 1)
+                return {"coef": x_ols, "mu": mu, "sigma2": sigma2,
+                        "loglik": loglik, "nparam": nparam + 1, "ar": ar,
+                        "ma": ma, "parts": parts, "resid": e,
+                        "resid_start": z.size - e.size}
 
     def objective_full(x):
         ar, ma, mu, parts = _expand_params(x, p, q, P, Q, m, use_mean)
@@ -622,6 +685,62 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None,
             "resid": e, "resid_start": z.size - e.size}
 
 
+def _pure_ar_loglik(x: np.ndarray, ar: np.ndarray):
+    """Exact Gaussian log-likelihood of a stationary pure-AR model, closed
+    form: the likelihood factorizes as N(0, σ²V) on the first p
+    observations (V = Toeplitz of the Yule-Walker autocovariances at unit
+    innovation variance) times the conditional one-step densities, whose
+    residuals are exactly the CSS residuals and whose variances are all
+    σ². Identical value to the Kalman innovations decomposition (same
+    Gaussian, det Σ = σ²ⁿ·det V), at O(p³ + n·p) instead of a per-step
+    filter — the ML-refinement hot path for AR winners. Returns
+    (loglik, sigma2) or None to fall back to the Kalman path."""
+    p_ = ar.size - 1
+    n = x.size
+    if n <= p_ + 1:
+        return None
+    if p_ == 0:
+        ssq = float(np.dot(x, x))
+        if not np.isfinite(ssq) or ssq <= 0:
+            return None
+        sigma2 = ssq / n
+        return (-0.5 * n * (np.log(2 * np.pi) + 1.0 + np.log(sigma2)),
+                sigma2)
+    phi = -ar[1:]
+    nz = np.flatnonzero(phi)
+    # Yule-Walker system for γ_0..γ_p at unit innovation variance:
+    # γ_k − Σ_j φ_j γ_|k−j| = δ_k0
+    M = np.eye(p_ + 1)
+    for k in range(p_ + 1):
+        for j in nz:
+            M[k, abs(k - (int(j) + 1))] -= phi[j]
+    rhs = np.zeros(p_ + 1)
+    rhs[0] = 1.0
+    try:
+        g = np.linalg.solve(M, rhs)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(g)) or g[0] <= 0:
+        return None
+    idx = np.abs(np.subtract.outer(np.arange(p_), np.arange(p_)))
+    V = g[idx]
+    sign, logdetV = np.linalg.slogdet(V)
+    if sign <= 0 or not np.isfinite(logdetV):
+        return None
+    try:
+        alpha = np.linalg.solve(V, x[:p_])
+    except np.linalg.LinAlgError:
+        return None
+    ssq = float(np.dot(x[:p_], alpha))
+    e = np.convolve(x, ar)[p_:n]
+    ssq += float(np.dot(e, e))
+    if not np.isfinite(ssq) or ssq <= 0:
+        return None
+    sigma2 = ssq / n
+    ll = -0.5 * (n * (np.log(2 * np.pi) + 1.0 + np.log(sigma2)) + logdetV)
+    return float(ll), float(sigma2)
+
+
 def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
                        exact_cap: int | None = None, parts=None,
                        m: int = 1):
@@ -635,6 +754,10 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
     σ² concentrated out. Returns (loglik, sigma2_hat) or (-inf, nan)."""
     phi = -ar[1:]
     theta = ma[1:]
+    if theta.size == 0 or not np.any(theta):
+        out = _pure_ar_loglik(x, ar)
+        if out is not None:
+            return out
     p_, q_ = phi.size, theta.size
     r = max(p_, q_ + 1)
     T = np.zeros((r, r))
