@@ -214,6 +214,21 @@ def main() -> None:
     extras["heavy_autoarima_wall_s"] = round(best, 3)
     extras["heavy_autoarima_series_per_sec"] = round(n_heavy / best, 1)
 
+    # AutoETS leg of the heavy anchor (same panel, season 24 — the
+    # reference's other published per-algorithm wall-time family)
+    from sparkts.kernels import AutoETS
+
+    esf = SparkForecast([AutoETS(season_length=24)], freq="D",
+                        fallback_model=Naive())
+    best = float("inf")
+    for _ in range(max(reps - 1, 1)):
+        t0 = time.time()
+        esf.forecast(heavy_panel, h=24).count()
+        best = min(best, time.time() - t0)
+    extras["heavy_autoets_n_series"] = n_heavy
+    extras["heavy_autoets_wall_s"] = round(best, 3)
+    extras["heavy_autoets_series_per_sec"] = round(n_heavy / best, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -409,3 +409,12 @@ def encode_bmp_video(frames: list[np.ndarray]) -> bytes:
     head = b"MBMP" + struct.pack("<I", len(payloads))
     head += b"".join(struct.pack("<I", len(p)) for p in payloads)
     return head + b"".join(payloads)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline sequential 4:4:4 JPEG encode — the pure-numpy codec in
+    ``sparkts.operators.jpeg`` (round 5; lossy, so the media oracles keep
+    BMP/PNG where byte-exact pixel recovery is graded)."""
+    from sparkts.operators.jpeg import encode_jpeg as _enc
+
+    return _enc(pixels, quality=quality)

@@ -6,10 +6,12 @@ the JVM never interprets the bytes (no codec on the scan path, full column
 pruning), and all interpretation happens in Arrow-batched Python via
 ``mapInPandas`` with bounded batch memory.
 
-Decoding is REAL for two containers — 24-bit BMP (pure numpy, round 4)
-and 8-bit truecolor PNG (numpy + stdlib zlib, round 5) — plus the MBMP
-concatenated-BMP video stand-in. Codecs that genuinely need PIL/ffmpeg
-(JPEG/GIF/mp4/audio) raise NotImplementedError inside the worker: the
+Decoding is REAL for three containers — 24-bit BMP (pure numpy, round 4),
+8-bit truecolor PNG (numpy + stdlib zlib, round 5), and baseline
+sequential 4:4:4 JPEG (pure-numpy DCT/Huffman codec, round 5 —
+``sparkts.operators.jpeg``) — plus the MBMP concatenated-BMP video
+stand-in. Codecs that genuinely need PIL/ffmpeg (progressive/subsampled
+JPEG, GIF/mp4/audio) raise NotImplementedError inside the worker: the
 documented swap-in point, one function body each. ``fake=True`` keeps the
 deterministic md5 pseudo-decode for plumbing tests over arbitrary bytes.
 
@@ -18,7 +20,7 @@ Operators:
   magic-byte sniff) computed JVM-side, no Python.
 * ``decode_features``    — mapInPandas: payload → per-channel pixel
   statistics (real decode) or fixed-dim pseudo-features, batch-bounded.
-* ``resize_images`` / ``sample_frames`` — real for BMP/PNG frames,
+* ``resize_images`` / ``sample_frames`` — real for BMP/PNG/JPEG frames,
   nearest-neighbor resample re-encoded in the same container.
 """
 
@@ -189,14 +191,18 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def _decode_image(buf: bytes) -> np.ndarray:
-    """Dispatch on magic bytes to a real decoder (BMP or PNG)."""
+    """Dispatch on magic bytes to a real decoder (BMP, PNG or baseline
+    JPEG)."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from sparkts.operators.jpeg import decode_jpeg
+        return decode_jpeg(buf)
     raise NotImplementedError(
-        "media decode beyond BMP/PNG requires PIL/ffmpeg — unavailable "
-        "in this environment")
+        "media decode beyond BMP/PNG/baseline-JPEG requires PIL/ffmpeg — "
+        "unavailable in this environment")
 
 
 def _image_features(buf: bytes) -> np.ndarray:
@@ -220,11 +226,11 @@ def decode_features(
 ) -> DataFrame:
     """payload binary → ``features array<float>`` via ``mapInPandas``.
 
-    BMP and PNG payloads get the REAL pure-numpy decode (``decode_bmp`` /
-    ``decode_png`` → per-channel pixel statistics, 8 floats). Other codecs
-    (JPEG/audio/video) still need PIL/ffmpeg, which this container lacks:
-    they raise NotImplementedError inside the worker — the documented
-    swap-in point.
+    BMP, PNG and baseline-JPEG payloads get the REAL pure-numpy decode
+    (``decode_bmp`` / ``decode_png`` / ``jpeg.decode_jpeg`` → per-channel
+    pixel statistics, 8 floats). Other codecs (progressive JPEG, audio,
+    video) still need PIL/ffmpeg, which this container lacks: they raise
+    NotImplementedError inside the worker — the documented swap-in point.
     ``fake=True`` keeps the md5 pseudo-decode (dim floats) for plumbing
     tests that exercise arbitrary payload bytes.
 
@@ -259,25 +265,27 @@ def resize_images(df: DataFrame, payload_col: str = "media",
                   width: int = 224, height: int = 224,
                   batch_rows: int = 64) -> DataFrame:
     """Image resize inside the same mapInPandas shape as decode_features.
-    REAL for BMP and PNG payloads (nearest-neighbor index resample,
-    re-encoded in the same container — pure numpy); other codecs raise
-    NotImplementedError at execution time (not plan time), the documented
-    PIL swap-in point."""
+    REAL for BMP, PNG and baseline-JPEG payloads (nearest-neighbor index
+    resample, re-encoded in the same container — pure numpy); other codecs
+    raise NotImplementedError at execution time (not plan time), the
+    documented PIL swap-in point."""
     from sparkts.datagen import encode_bmp
 
     schema = df.schema
     cols = [f.name for f in df.schema.fields]
 
     def one(b: bytes) -> bytes:
-        png = b[:8] == _PNG_SIG
         px = _decode_image(b)
         h, w, _ = px.shape
         ri = (np.arange(height) * h) // height
         ci = (np.arange(width) * w) // width
         out = px[ri][:, ci]
-        if png:
+        if b[:8] == _PNG_SIG:
             from sparkts.datagen import encode_png
             return encode_png(out)
+        if b[:2] == b"\xff\xd8":
+            from sparkts.operators.jpeg import encode_jpeg
+            return encode_jpeg(out)
         return encode_bmp(out)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

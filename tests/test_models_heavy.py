@@ -199,6 +199,61 @@ class TestARIMA:
         with pytest.raises(ValueError):
             ARIMA((5, 0, 5)).forecast(np.arange(8.0), 3)
 
+    @staticmethod
+    def _shape(seed, n, season=7):
+        r = np.random.default_rng(seed)
+        t = np.arange(n)
+        return (r.random() * 100 + 20 + (r.random() - 0.3) * 0.2 * t
+                + (r.random() * 8 + 1) * np.sin(t * 2 * np.pi / season)
+                + np.cumsum(r.random(n) - 0.5) * 0.4
+                + (r.random(n) - 0.5) * (r.random() * 2 + 0.5))
+
+    def test_pure_ar_closed_form_dominates_nm(self):
+        # the OLS fast path in _fit_css is the EXACT CSS minimizer for
+        # pure-AR models; it must never lose to the Nelder-Mead path it
+        # replaced (regression guard for the closed-form branch)
+        import sparkts.kernels.arima as A
+
+        for i in range(6):
+            z = np.diff(self._shape(i, 400))
+            for (p, P) in [(1, 0), (3, 0), (0, 1), (0, 2)]:
+                for use_mean in (True, False):
+                    fast = A._fit_css(z, p, 0, P, 0, 7, use_mean)
+                    orig = A._fit_css_pure_ar
+                    A._fit_css_pure_ar = lambda *a, **k: None
+                    try:
+                        nm = A._fit_css(z, p, 0, P, 0, 7, use_mean)
+                    finally:
+                        A._fit_css_pure_ar = orig
+                    assert fast is not None and nm is not None
+                    assert fast["loglik"] >= nm["loglik"] - 1e-6, (
+                        i, p, P, use_mean)
+
+    def test_pure_ar_loglik_matches_kalman(self):
+        # the Yule-Walker closed form and the Kalman filter compute the
+        # same exact Gaussian likelihood (det Σ = σ²ⁿ·det V)
+        import sparkts.kernels.arima as A
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, 500) + np.sin(np.arange(500) / 5)
+        shapes = [np.array([0.6]), np.array([1.2, -0.5]),
+                  np.array([0.95])]
+        seas = np.zeros(14)
+        seas[6], seas[13] = 0.5, -0.2
+        shapes.append(seas)
+        for phi in shapes:
+            ar = A._ar_poly(phi)
+            fast = A._pure_ar_loglik(x, ar)
+            orig = A._pure_ar_loglik
+            A._pure_ar_loglik = lambda *a: None
+            try:
+                kal = A._arma_exact_loglik(x, ar, np.array([1.0]))
+            finally:
+                A._pure_ar_loglik = orig
+            assert fast is not None
+            assert abs(fast[0] - kal[0]) <= 1e-7 * max(1, abs(kal[0]))
+            assert abs(fast[1] - kal[1]) <= 1e-7 * max(1e-9, abs(kal[1]))
+
 
 class TestGARCH:
     @pytest.fixture(scope="class")

@@ -125,3 +125,88 @@ def test_png_rejects_unsupported_variants():
         decode_png(buf)
     with _pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+# --------------------------------------------------------------------------- #
+# JPEG codec (round 5): encode_jpeg / decode_jpeg
+# --------------------------------------------------------------------------- #
+
+from sparkts.operators.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+def _smooth_image(h, w, seed):
+    """JPEG-friendly content: bandlimited sinusoids + mild noise."""
+    r = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 100 * np.sin(xx / 7.0) * np.cos(yy / 9.0),
+        128 + 80 * np.cos(xx / 5.0 + r.rand() * 6),
+        128 + 60 * np.sin((xx + yy) / 11.0),
+    ], axis=-1)
+    return np.clip(img + r.normal(0, 3, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       seed=st.integers(0, 2**31 - 1))
+def test_jpeg_roundtrip_within_quantization_error(h, w, seed):
+    """JPEG is lossy — the roundtrip invariant is shape preservation plus
+    bounded reconstruction error at high quality (q95 quantizes the DC
+    and low-frequency AC coefficients finely)."""
+    img = _smooth_image(h, w, seed)
+    buf = encode_jpeg(img, quality=95)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(buf)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 5.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(1, 32), w=st.integers(1, 32),
+       seed=st.integers(0, 2**31 - 1))
+def test_jpeg_roundtrip_pure_noise_q95(h, w, seed):
+    """Worst-case content (white noise saturates every AC band): still
+    decodes to the right shape with error bounded by the q95 tables."""
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 12.0
+
+
+def test_jpeg_constant_image_is_near_exact():
+    # a flat block has only a DC coefficient → error ≤ rounding
+    img = np.full((24, 16, 3), 137, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert np.abs(dec.astype(float) - 137.0).max() <= 2.0
+
+
+def test_jpeg_decode_dispatch_and_resize():
+    from sparkts.operators.multimodal import _decode_image
+
+    img = _smooth_image(19, 27, 7)
+    buf = encode_jpeg(img, quality=90)
+    np.testing.assert_array_equal(_decode_image(buf), decode_jpeg(buf))
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import pytest as _pytest
+    import struct
+
+    img = _smooth_image(8, 8, 1)
+    buf = bytearray(encode_jpeg(img, quality=90))
+    # flip SOF0 → SOF2 (progressive) keeping lengths intact
+    i = buf.find(b"\xff\xc0")
+    assert i > 0
+    buf[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
+    # 2x2 luma subsampling in SOF → NotImplementedError
+    buf = bytearray(encode_jpeg(img, quality=90))
+    i = buf.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then [cid hv tq]*3
+    buf[i + 2 + 2 + 5 + 1 + 1] = 0x22
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
