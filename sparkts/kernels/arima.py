@@ -84,15 +84,19 @@ def _roots_ok(poly: np.ndarray, thresh: float = 1.001) -> bool:
     # 1 − Σφ_k B^k outside the unit circle ⟺ every reflection coefficient
     # |r_k| < 1. O(d²) scalar work, no companion eigendecomposition.
     # Scaling c_k ← c_k·thresh^k maps "outside |B| = thresh" to "outside
-    # the unit circle".
+    # the unit circle". Python-float lists: the degrees here are ≤ ~10 and
+    # this check sits inside every CSS/ML objective evaluation, where the
+    # tiny-array numpy version was ~5× interpreter overhead (identical
+    # IEEE arithmetic).
     d = c.size - 1
-    a = np.array([-c[k] * thresh**k for k in range(1, d + 1)])
+    a = [-float(c[k]) * thresh ** k for k in range(1, d + 1)]
     for k in range(d, 0, -1):
         r = a[k - 1]
-        if not np.isfinite(r) or abs(r) >= 1.0:
+        if r != r or abs(r) >= 1.0:  # NaN or |r| ≥ 1 (covers ±inf)
             return False
         if k > 1:
-            a = (a[: k - 1] + r * a[k - 2 :: -1]) / (1.0 - r * r)
+            denom = 1.0 - r * r
+            a = [(a[i] + r * a[k - 2 - i]) / denom for i in range(k - 1)]
     return True
 
 
