@@ -19,8 +19,11 @@ Env: SPARKTS_BENCH_CPUS (cores), SPARKTS_BENCH_DATA (pages parquet path),
 SPARKTS_BENCH_REPS (default 3; best rep reported — the sandbox VM is
 multi-tenant and fluctuates 2-4x). Prints one JSON line. Run via subprocess
 from scaling.py so each parallelism level gets a fresh JVM — mirrors
-`spark-submit --py-files` runs at two cluster sizes (N vs 4N executors),
-which this sandbox can't spawn for real.
+`spark-submit --py-files` runs at two cluster sizes (N vs 4N executors).
+The sandbox can't spawn a multi-executor cluster, but the SHIPPING
+mechanism itself (zip on the driver/executor import path, repo off
+sys.path) is exercised for real by tests/test_submit.py with an actual
+spark-submit process.
 """
 
 from __future__ import annotations
