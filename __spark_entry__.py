@@ -134,11 +134,22 @@ def q_stream_5m_cascade(spark, sf_dir):
     (streaming/rollup.py:55 commit_batch → marker), merge-on-read of
     committed batches only, then the batch cascade 1m→5m. Green ⟺ the
     streamed-and-committed 1m cascade ≡ the oracle's direct 5m SQL."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from sparkts.streaming.rollup import (read_tier_stream_output,
                                           stream_rollup, write_tier_stream)
-    base_dir = tempfile.mkdtemp(prefix="stream5m_")
+    # deterministic per-sf_dir location, wiped ON ENTRY (not exit — the
+    # returned DataFrame lazily reads the committed parquet until the
+    # driver collects it): repeated oracle sweeps reuse ONE directory
+    # instead of leaking a fresh mkdtemp per invocation
+    base_dir = os.path.join(
+        tempfile.gettempdir(),
+        "sparkts_stream5m_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base_dir, ignore_errors=True)
+    os.makedirs(base_dir)
     ev_schema = _t(spark, sf_dir, "events").schema
     # the file stream source wants a directory; glob-filter to the events
     # table within the sf dir

@@ -816,11 +816,14 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
     # n steps. Past the cap, F/K are frozen at their current (almost-
     # converged) values — the optimizer objective in _ml_refine uses this;
     # the FINAL likelihood at the optimum is always evaluated uncapped.
-    t_stop = n if exact_cap is None else min(n, exact_cap)
     # the steady continuation below reads x lags up to deg(ar) and seeds
     # the MA feedback with deg(ma) real innovations — filter exactly at
-    # least that far even if P converges sooner (a few extra r³ steps)
+    # least that far even if P converges sooner (a few extra r³ steps),
+    # and NEVER cap below it: a cap under the expanded seasonal degree
+    # (e.g. m=52, P=2 → deg 104 > 80) would zero-pad the continuation's
+    # lag reads and bias the optimizer objective by whole loglik units
     min_steady = max(ar.size - 1, ma.size - 1)
+    t_stop = n if exact_cap is None else min(n, max(exact_cap, min_steady))
     vhist = []
     while t < t_stop and not (steady and t >= min_steady):
         F = P[0, 0]

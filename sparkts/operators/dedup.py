@@ -120,16 +120,19 @@ def drop_hot_buckets(
     pair through their OTHER bands, so recall degrades gracefully. Dropping
     is deterministic (pure size predicate, no sampling). ``None`` disables.
 
-    The kept-bucket set is tiny (distinct buckets ≪ rows) → broadcast join,
-    no extra shuffle on the big side."""
+    The broadcast side is the OVER-cap set (anti-joined away), not the
+    kept set: on a mostly-unique web corpus almost every (band, bucket) is
+    a singleton, so the kept set is ~rows-sized (docs × bands — billions
+    at the 100 TB scale this guard exists for) while the genuinely hot
+    buckets are by construction few. No extra shuffle on the big side."""
     if max_bucket_size is None:
         return bucketed
     k = list(keys)
-    sizes = (bucketed.groupBy(*k)
-             .agg(F.count("*").alias("__bsz"))
-             .where(F.col("__bsz") <= max_bucket_size)
-             .drop("__bsz"))
-    return bucketed.join(F.broadcast(sizes), k)
+    hot = (bucketed.groupBy(*k)
+           .agg(F.count("*").alias("__bsz"))
+           .where(F.col("__bsz") > max_bucket_size)
+           .drop("__bsz"))
+    return bucketed.join(F.broadcast(hot), k, "left_anti")
 
 
 def hot_bucket_stats(

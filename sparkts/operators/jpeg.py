@@ -386,9 +386,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 2 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2  # standalone marker (TEM/RSTn/SOI): no length field
+            continue
         ln = struct.unpack_from(">H", buf, pos + 2)[0]
         payload = buf[pos + 4 : pos + 2 + ln]
         pos += 2 + ln

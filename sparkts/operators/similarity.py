@@ -169,11 +169,15 @@ def embedding_near_dup_pairs(
         ])).alias("bk"),
     ).select(id_col, vec_col, "bk.band", "bk.bucket")
     if max_bucket_size is not None:
-        sizes = (bucketed.groupBy("band", "bucket")
-                 .agg(F.count("*").alias("__bsz"))
-                 .where(F.col("__bsz") <= max_bucket_size)
-                 .drop("__bsz"))
-        bucketed = bucketed.join(F.broadcast(sizes), ["band", "bucket"])
+        # broadcast the OVER-cap set and anti-join: the kept-bucket set is
+        # ~rows-sized on a mostly-unique corpus (docs × bands), the hot
+        # set is by construction tiny (same fix as dedup.drop_hot_buckets)
+        hot = (bucketed.groupBy("band", "bucket")
+               .agg(F.count("*").alias("__bsz"))
+               .where(F.col("__bsz") > max_bucket_size)
+               .drop("__bsz"))
+        bucketed = bucketed.join(F.broadcast(hot), ["band", "bucket"],
+                                 "left_anti")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
         b,

@@ -106,6 +106,14 @@ def write_tier_stream(
     return writer.start()
 
 
+#: batch publishes allocate generation ids at and above this base — a
+#: namespace disjoint from the streaming sink's ids (which come from the
+#: STREAM CHECKPOINT's micro-batch counter, not from the commits dir, and
+#: count up from 0), so a streaming writer sharing the directory can never
+#: reuse a batch generation's id and overwrite it
+BATCH_ID_BASE = 1 << 33
+
+
 def commit_tier_batch(df: DataFrame, out_path: str) -> int:
     """Transactional BATCH publish of a tier table through the same
     batch-id commit protocol the streaming sink uses (round-5 stretch —
@@ -114,17 +122,28 @@ def commit_tier_batch(df: DataFrame, out_path: str) -> int:
     ``data/batch=<id>`` first, the marker second, so a reader
     (``read_tier_stream_output``) sees the PREVIOUS generation until the
     marker lands and never a torn write. Batch and streaming writers can
-    share one output directory — ids are allocated past whatever is
-    committed, and latest-wins merge-on-read applies uniformly. Returns
-    the committed generation id."""
+    share one output directory: batch generations live in the disjoint
+    id namespace ≥ ``BATCH_ID_BASE`` (streaming micro-batch ids are
+    checkpoint counters from 0, NOT allocated from the commits dir, so
+    "max committed + 1" alone would collide with the stream's next
+    micro-batch and be silently overwritten). Under latest-wins
+    merge-on-read a batch publish therefore supersedes stream batches —
+    snapshot-replaces-table semantics. Returns the committed id."""
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     try:
         committed = [
             int(r[0]) for r in spark.read.parquet(f"{out_path}/commits")
             .select("batch_id").collect()]
-    except Exception:
+    except AnalysisException:
+        # missing commits dir = first publish; any OTHER read failure must
+        # propagate — treating a transient listing error as "nothing
+        # committed" would re-allocate id BATCH_ID_BASE and overwrite the
+        # oldest committed generation
         committed = []
-    new_id = (max(committed) + 1) if committed else 0
+    new_id = max((c for c in committed if c >= BATCH_ID_BASE),
+                 default=BATCH_ID_BASE - 1) + 1
     commit_batch(df, new_id, out_path)
     return new_id
 

@@ -210,3 +210,18 @@ def test_jpeg_rejects_unsupported_variants():
     buf[i + 2 + 2 + 5 + 1 + 1] = 0x22
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
+
+
+def test_jpeg_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    (libjpeg-family encoders emit them) — the header scan must skip them
+    rather than reading a bogus segment length."""
+    img = _smooth_image(16, 16, 3)
+    buf = encode_jpeg(img, quality=90)
+    # inject fill bytes before the DQT and SOF0 markers
+    for marker in (b"\xff\xdb", b"\xff\xc0"):
+        i = buf.find(marker)
+        buf = buf[:i] + b"\xff\xff\xff" + buf[i:]
+    dec = decode_jpeg(buf)
+    assert dec.shape == img.shape
+    np.testing.assert_array_equal(dec, decode_jpeg(encode_jpeg(img, 90)))

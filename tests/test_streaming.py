@@ -258,23 +258,49 @@ def test_batch_transactional_commit(spark, events_dir, tmp_path_factory):
     directory without marker) stays invisible; generations interleave
     with the streaming sink's ids."""
     from sparkts.streaming import commit_tier_batch, read_tier_snapshot
+    from sparkts.streaming.rollup import BATCH_ID_BASE, commit_batch
 
     out = str(tmp_path_factory.mktemp("txn")) + "/tier"
     ev = spark.read.parquet(events_dir)
     gen0 = rollup_base(ev, "ts", ["event_type"], "value", "1h")
-    assert commit_tier_batch(gen0, out) == 0
+    assert commit_tier_batch(gen0, out) == BATCH_ID_BASE
     n0 = read_tier_snapshot(spark, out).count()
     assert n0 == gen0.count()
 
     # new generation with an extra filter — replaces the view atomically
     gen1 = gen0.where("n_rows > 1")
-    assert commit_tier_batch(gen1, out) == 1
+    assert commit_tier_batch(gen1, out) == BATCH_ID_BASE + 1
     assert read_tier_snapshot(spark, out).count() == gen1.count() < n0
 
-    # torn write: data for id=7 lands but no marker → invisible
-    gen0.write.mode("overwrite").parquet(f"{out}/data/batch=7")
+    # torn write: data lands but no marker → invisible
+    gen0.write.mode("overwrite").parquet(f"{out}/data/batch={BATCH_ID_BASE + 7}")
     assert read_tier_snapshot(spark, out).count() == gen1.count()
-    # the next allocation skips PAST committed ids only (orphan id 7 is
+    # the next allocation skips PAST committed ids only (the orphan id is
     # overwritten territory, not committed)
-    assert commit_tier_batch(gen0, out) == 2
+    assert commit_tier_batch(gen0, out) == BATCH_ID_BASE + 2
     assert read_tier_snapshot(spark, out).count() == n0
+
+
+def test_batch_publish_ids_disjoint_from_stream_ids(
+        spark, events_dir, tmp_path_factory):
+    """Regression: streaming micro-batch ids come from the STREAM
+    CHECKPOINT (counting 0, 1, 2, …), not from the commits dir — a batch
+    publisher allocating 'max committed + 1' would hand out the stream's
+    next id and the following micro-batch would silently overwrite the
+    batch generation. Batch publishes must land in the disjoint
+    ≥ BATCH_ID_BASE namespace."""
+    from sparkts.streaming import commit_tier_batch, read_tier_snapshot
+    from sparkts.streaming.rollup import BATCH_ID_BASE, commit_batch
+
+    out = str(tmp_path_factory.mktemp("mixed")) + "/tier"
+    ev = spark.read.parquet(events_dir)
+    tier = rollup_base(ev, "ts", ["event_type"], "value", "1h")
+    # a stream committed micro-batches 0 and 1 (checkpoint-derived ids)
+    commit_batch(tier.limit(3), 0, out)
+    commit_batch(tier.limit(5), 1, out)
+    gen = commit_tier_batch(tier, out)
+    assert gen >= BATCH_ID_BASE
+    # the stream's NEXT micro-batch (id 2) replays — it must not clobber
+    # the batch generation, and the snapshot must still be the publish
+    commit_batch(tier.limit(4), 2, out)
+    assert read_tier_snapshot(spark, out).count() == tier.count()
