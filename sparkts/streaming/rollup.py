@@ -93,8 +93,24 @@ def write_tier_stream(
     ``available_now`` processes the backlog and stops — the batch-like mode
     used in tests and backfills."""
 
+    # id floor: checkpoint micro-batch counters restart at 0 with a fresh
+    # checkpoint, and compact_tier_output consolidates history into a
+    # high id — committing raw counter ids would overwrite those
+    # generations. The floor (written by the compactor) is read ONCE at
+    # writer start, so within-run replays keep their exact ids
+    # (byte-idempotent), while a writer started after a compaction lands
+    # strictly above the consolidated generation.
+    from pyspark.errors import AnalysisException
+
+    spark = tier_df.sparkSession
+    try:
+        floor = int(spark.read.parquet(f"{out_path}/floor")
+                    .agg(F.max("next_id")).collect()[0][0] or 0)
+    except AnalysisException:
+        floor = 0
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch(batch_df, batch_id, out_path)
+        commit_batch(batch_df, floor + batch_id, out_path)
 
     writer = (
         tier_df.writeStream.outputMode("update")
@@ -203,6 +219,14 @@ def compact_tier_output(spark, out_path: str, key_cols: list[str]) -> int:
     of a pre-compaction micro-batch (id < consolidated) re-creates a
     directory the latest-wins read ignores.
 
+    Compaction must not race a RUNNING stream writer (it is the OPTIMIZE
+    step between runs): a live writer's next checkpoint counter would be
+    exactly max(committed)+1 — the consolidated id — and its overwrite
+    would destroy the folded history. The ``floor`` record written below
+    makes the NEXT writer start safe mechanically: ``write_tier_stream``
+    reads it once at start and offsets every checkpoint id above the
+    consolidated generation (fresh or resumed checkpoint alike).
+
     Returns the consolidated batch id."""
     committed = [
         int(r[0])
@@ -223,6 +247,9 @@ def compact_tier_output(spark, out_path: str, key_cols: list[str]) -> int:
             f"{out_path}/commits/batch={b}"), True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{out_path}/data/batch={b}"), True)
+    # id floor for the next stream writer (see write_tier_stream)
+    spark.createDataFrame([(new_id + 1,)], "next_id long").coalesce(
+        1).write.mode("overwrite").parquet(f"{out_path}/floor")
     return new_id
 
 

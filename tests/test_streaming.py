@@ -123,6 +123,50 @@ def test_compaction_preserves_view_and_gcs_old_batches(spark, events_dir,
     pd.testing.assert_frame_equal(before, replayed)
 
 
+def test_stream_writer_after_compaction_respects_floor(spark, events_dir,
+                                                       tmp_path_factory):
+    """Regression: a stream writer started AFTER a compaction (fresh or
+    resumed checkpoint — counters restart at 0 either way with a fresh
+    one) must not overwrite the consolidated generation. The floor record
+    the compactor writes offsets the new writer's ids above it."""
+    import os
+
+    from pyspark.sql import functions as F
+    from sparkts.streaming import commit_batch, compact_tier_output
+
+    out = str(tmp_path_factory.mktemp("tier_floor"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_floor"))
+    raw = spark.read.parquet(events_dir)
+    tier = rollup_base(raw, "ts", ["event_type"], "value", "1m")
+    commit_batch(tier.where(F.dayofmonth("bucket") <= 15), 0, out)
+    commit_batch(tier.where(F.dayofmonth("bucket") > 15), 1, out)
+    new_id = compact_tier_output(spark, out, ["event_type"])
+    assert new_id == 2
+
+    # a NEW availableNow stream run on the same directory: checkpoint
+    # micro-batch ids restart at 0 — without the floor, batch 2 would
+    # overwrite the consolidated generation
+    schema = raw.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(events_dir))
+    t = stream_rollup(stream, "ts", ["event_type"], "value", tier="1m",
+                      watermark="365 days")
+    q = write_tier_stream(t, out, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    # the consolidated generation survives, every stream batch sits above
+    # the floor, and the merged view equals the batch rollup
+    dirs = sorted(int(d.split("=")[1]) for d in os.listdir(f"{out}/data"))
+    assert new_id in dirs
+    assert all(d == new_id or d > new_id for d in dirs)
+    got = (read_tier_stream_output(spark, out, ["event_type"])
+           .select("event_type", "bucket", "n_rows", "v_sum").toPandas()
+           .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    want = (tier.select("event_type", "bucket", "n_rows", "v_sum").toPandas()
+            .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
 def test_uncommitted_orphan_batch_is_invisible(spark, events_dir,
                                                tmp_path_factory):
     """A crash BETWEEN the data write and the marker write leaves an
