@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from sparkts.kernels import _native
 from sparkts.kernels.base import Model
 from sparkts.kernels.optim import nelder_mead
 
@@ -145,6 +146,10 @@ def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
         return a[np_:].copy()
     mac = ma[1:]
     nz = np.flatnonzero(mac)
+    if _native.LIB is not None:
+        # bit-exact C twin of every specialized loop below (guide §4.2);
+        # pinned to the Python paths in tests/test_native.py
+        return _native.ma_filter(a[np_:], nz + 1, mac[nz], np.zeros(nq))
     coefs = [(int(j) + 1, float(mac[j])) for j in nz]
     if len(coefs) == 1:
         lag, c = coefs[0]
@@ -269,6 +274,14 @@ def _ma_invert_auto(b: np.ndarray, ma: np.ndarray, parts=None,
     deflated-residue FFT) is exact at any coefficient."""
     if ma.size <= 1 or not np.any(ma[1:]):
         return b
+    if _native.LIB is not None:
+        # r6: the compiled recursion is EXACT (no truncation/aliasing) and
+        # ~30× faster than the FFT approximations below at kernel series
+        # lengths — n·nnz(ma) multiply-adds at C speed. The FFT paths stay
+        # as the no-compiler fallback.
+        mac = ma[1:]
+        nz = np.flatnonzero(mac)
+        return _native.ma_filter(b, nz + 1, mac[nz], np.zeros(ma.size - 1))
     if parts is not None and m > 1 and parts[1].size and parts[3].size:
         e = _spectral_invert(b, ma)
         if e is not None:
@@ -328,6 +341,9 @@ def _ma_filter_seeded(a: np.ndarray, ma: np.ndarray,
     pre = [0.0] * max(nq - len(seed), 0) + [float(s) for s in seed[-nq:]]
     mac = ma[1:]
     nz = np.flatnonzero(mac)
+    if _native.LIB is not None:
+        # bit-exact C twin of the seeded loops below (tests/test_native.py)
+        return _native.ma_filter(a, nz + 1, mac[nz], np.asarray(pre))
     coefs = [(int(j) + 1, float(mac[j])) for j in nz]
     if len(coefs) == 1:
         lag, c = coefs[0]
@@ -764,6 +780,24 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
             return out
     p_, q_ = phi.size, theta.size
     r = max(p_, q_ + 1)
+    if _native.LIB is not None:
+        # r6: compiled transient (same algorithm/thresholds, companion-
+        # structured O(r²) steps — guide §4.2); ~1e-15-relative from the
+        # numpy path below, which remains the no-compiler fallback and the
+        # doubling-divergence fallback (None)
+        n_ = x.size
+        min_steady_ = max(ar.size - 1, ma.size - 1)
+        t_stop_ = (n_ if exact_cap is None
+                   else min(n_, max(exact_cap, min_steady_)))
+        try:
+            res = _native.kalman_transient(x, phi, theta, t_stop_,
+                                           min_steady_)
+        except ValueError:
+            return -np.inf, np.nan
+        if res is not None:
+            ssq, logdet, t, steady, F, vhist = res
+            return _kalman_finish(x, ar, ma, parts, m, ssq, logdet, t,
+                                  F, list(vhist))
     T = np.zeros((r, r))
     if p_:
         T[:p_, 0] = phi
@@ -842,6 +876,13 @@ def _arma_exact_loglik(x: np.ndarray, ar: np.ndarray, ma: np.ndarray,
             steady = True
         P = Pn
         t += 1
+    return _kalman_finish(x, ar, ma, parts, m, ssq, logdet, t, F, vhist)
+
+
+def _kalman_finish(x, ar, ma, parts, m, ssq, logdet, t, F, vhist):
+    """Steady-phase continuation + likelihood assembly shared by the numpy
+    and compiled transients of ``_arma_exact_loglik``."""
+    n = x.size
     if t < n:
         # steady phase via the model's OWN innovation recursion: once P
         # has converged (F, K constant) the Kalman filter's innovation

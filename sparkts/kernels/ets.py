@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from sparkts.kernels import _native
 from sparkts.kernels.base import Model, add_intervals
 from sparkts.kernels.optim import nelder_mead
 
@@ -39,6 +40,20 @@ _HUGE = 1e38
 def _etscalc(y, l0, b0, s0, m, trend, season, alpha, beta, gamma, phi):
     """Run the ETS recursion; return (f, l, b, s) where f is the one-step
     forecast trajectory and (l, b, s) are the final states.
+
+    Dispatches to the compiled bit-exact C twin when available (r6: this
+    interpreted loop was 85% of the AutoETS search profile — guide §4.2,
+    native code inside the kernel); tests/test_native.py pins the two
+    paths to identical bits."""
+    if _native.LIB is not None:
+        return _native.ets_calc(y, l0, b0, s0, m, trend, season,
+                                alpha, beta, gamma, phi)
+    return _etscalc_py(y, l0, b0, s0, m, trend, season,
+                       alpha, beta, gamma, phi)
+
+
+def _etscalc_py(y, l0, b0, s0, m, trend, season, alpha, beta, gamma, phi):
+    """Pure-Python ETS recursion (fallback when no C compiler exists).
 
     States update from y only (error type enters the likelihood, not the
     trajectory) — the scheme of the published R implementation.
