@@ -141,13 +141,17 @@ def q_stream_5m_cascade(spark, sf_dir):
 
     from sparkts.streaming.rollup import (read_tier_stream_output,
                                           stream_rollup, write_tier_stream)
-    # deterministic per-sf_dir location, wiped ON ENTRY (not exit — the
-    # returned DataFrame lazily reads the committed parquet until the
-    # driver collects it): repeated oracle sweeps reuse ONE directory
-    # instead of leaking a fresh mkdtemp per invocation
+    # deterministic per-(sf_dir, PID) location, wiped ON ENTRY (not exit —
+    # the returned DataFrame lazily reads the committed parquet until the
+    # driver collects it): repeated oracle sweeps in one process reuse ONE
+    # directory instead of leaking a fresh mkdtemp per invocation, while
+    # the PID suffix keeps CONCURRENT sweeps against the same sf_dir from
+    # wiping each other's live commit/checkpoint dirs (r6, round-5 ADVICE)
     base_dir = os.path.join(
         tempfile.gettempdir(),
-        "sparkts_stream5m_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+        "sparkts_stream5m_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}")
     shutil.rmtree(base_dir, ignore_errors=True)
     os.makedirs(base_dir)
     ev_schema = _t(spark, sf_dir, "events").schema

@@ -25,6 +25,7 @@ Scale design notes
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -41,33 +42,95 @@ from sparkts.plans.schema import (
 )
 
 
-def _kernel_partitioned(df: DataFrame, id_col: str,
-                        for_cogroup: bool = False) -> DataFrame:
-    """Explicit repartition on the series key before a grouped-map kernel.
+#: internal bucket column for the batched grouped-map kernels
+_BKT = "__sparkts_bkt"
 
-    Why not let the groupBy's own exchange handle it: AQE coalesces shuffle
-    partitions by JVM byte size, and a panel small in bytes (~MBs) coalesces
-    to ONE partition — which serializes thousands of Python kernel calls on
-    a single worker (measured: 2000-series CV ran 1-worker, ~7s, vs ~0.5s
-    parallel). Python cost per row dwarfs bytes here, so partitioning must
-    be explicit; AQE leaves user-specified repartitioning alone, and the
-    groupBy reuses it (no second exchange — asserted in tests/test_plans.py).
 
-    Single-input kernels use RANGE partitioning (round 4, the cv9 straggler
-    fix): hashing ~2k series into cores×2 buckets is a multinomial draw —
-    measured 1330..2936 rows/partition, a 1.56× straggler that caps the
-    grouped-map stage at its slowest task. repartitionByRange balances ROW
-    counts (measured 1698..2089) and RangePartitioning(id) still satisfies
-    the groupBy's clustering requirement, so there is no extra exchange —
-    only the one sampling pass range partitioning always costs, which the
-    straggler savings dominate. Cogrouped kernels keep HASH partitioning:
-    two independently-sampled range boundaries would break co-partitioning
-    and force BOTH sides to re-shuffle."""
+def _kernel_parallelism(df: DataFrame) -> tuple[int, int]:
+    """(n_partitions, n_buckets) for grouped-map kernels.
+
+    Scale-adaptive: partitions follow the cluster's parallelism (×1:
+    measured at local[32]/2k series, one task wave beat ×2's two waves
+    1.49 s vs 1.89 s — the per-task Arrow/scheduling overhead outweighs
+    the wave-overlap slack), buckets ×8 the partitions so each partition
+    averages ~8 buckets and per-partition row counts concentrate (a sum
+    of 8 multinomial cells ≈ ±6% at 2k series — tighter than the round-4
+    range-partitioning row balance, and without its sampling job).
+    ``SPARKTS_KERNEL_BUCKETS`` overrides the bucket count for deployments
+    whose series-count/core ratio is extreme."""
     sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism * 2
-    if for_cogroup:
-        return df.repartition(n, id_col)
-    return df.repartitionByRange(n, id_col)
+    n = sc.defaultParallelism
+    b = int(os.environ.get("SPARKTS_KERNEL_BUCKETS", "0")) or n * 8
+    return n, b
+
+
+def _apply_by_series(df: DataFrame, id_col: str, kernel, schema) -> DataFrame:
+    """Grouped-map kernel over series, batched by hash bucket (r6).
+
+    Shape: one exchange on ``pmod(xxhash64(id), B)``, then ONE Arrow
+    grouped-map call per *bucket* whose Python function applies ``kernel``
+    to each series inside (guide §4.1 — fewer, larger batches across the
+    Python boundary). Measured rationale: per-GROUP applyInPandas overhead
+    is ~0.5 ms, so at 2000 series the old one-call-per-series shape spent
+    ~1 s of cv9's 1.3 s wall on boundary overhead — 4× the model compute.
+    Bucketing cuts the Python-call count from n_series to B while the
+    per-series arithmetic (and every output value) is unchanged: ``kernel``
+    still receives exactly one series' rows per invocation.
+
+    Why an explicit repartition: AQE coalesces shuffle partitions by JVM
+    byte size, and a panel small in bytes coalesces to ONE partition —
+    serializing every kernel call on one worker. AQE leaves user
+    repartitioning alone, and the groupBy reuses it (no second exchange —
+    asserted in tests/test_plans.py)."""
+    n, b = _kernel_parallelism(df)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=[_BKT])
+        outs = [kernel(g) for _, g in pdf.groupby(id_col, sort=False)]
+        if len(outs) == 1:
+            return outs[0]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        df.withColumn(_BKT, F.pmod(F.xxhash64(id_col), F.lit(b)))
+        .repartition(n, _BKT)
+        .groupBy(_BKT)
+        .applyInPandas(run, schema)
+    )
+
+
+def _apply_by_series_cogrouped(left: DataFrame, right: DataFrame,
+                               id_col: str, cokernel, schema) -> DataFrame:
+    """Cogrouped twin of ``_apply_by_series``: both sides bucketed with the
+    SAME hash/bucket count (co-partitioned, one shuffle each side), one
+    Python call per bucket, ``cokernel((uid,), left_rows, right_rows)``
+    applied per series inside. Series present on either side are visited,
+    with an empty frame for the missing side — the cogroup-on-id
+    contract the per-series kernels rely on for their validation errors."""
+    n, b = _kernel_parallelism(left)
+
+    def bucketed(df):
+        return (df.withColumn(_BKT, F.pmod(F.xxhash64(id_col), F.lit(b)))
+                .repartition(n, _BKT))
+
+    def run(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=[_BKT])
+        rpdf = rpdf.drop(columns=[_BKT])
+        lg = {k: g for k, g in lpdf.groupby(id_col, sort=False)}
+        rg = {k: g for k, g in rpdf.groupby(id_col, sort=False)}
+        ids = list(lg) + [k for k in rg if k not in lg]
+        lempty, rempty = lpdf.iloc[0:0], rpdf.iloc[0:0]
+        outs = [cokernel((uid,), lg.get(uid, lempty), rg.get(uid, rempty))
+                for uid in ids]
+        if len(outs) == 1:
+            return outs[0]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        bucketed(left).groupBy(_BKT)
+        .cogroup(bucketed(right).groupBy(_BKT))
+        .applyInPandas(run, schema)
+    )
 
 
 def _future_index(last, h: int, freq):
@@ -232,14 +295,11 @@ class SparkForecast:
                                      fallback_counts=fb_counts)
                 data = {id_col: np.repeat(pdf[id_col].iloc[0], h), time_col: future}
                 data.update(out)
-                return pd.DataFrame(data)[cols]
+                return pd.DataFrame(data, columns=cols)
 
-            return (
-                _kernel_partitioned(
-                    df.select(id_col, time_col, target_col), id_col)
-                .groupBy(id_col)
-                .applyInPandas(kernel, schema)
-            )
+            return _apply_by_series(
+                df.select(id_col, time_col, target_col), id_col, kernel,
+                schema)
 
         missing = [c for c in exog_cols if c not in X_df.columns]
         if missing:
@@ -261,20 +321,12 @@ class SparkForecast:
                                  fallback_counts=fb_counts)
             data = {id_col: np.repeat(key[0], h), time_col: future}
             data.update(out)
-            return pd.DataFrame(data)[cols]
+            return pd.DataFrame(data, columns=cols)
 
-        return (
-            _kernel_partitioned(
-                df.select(id_col, time_col, target_col, *exog_cols), id_col,
-                for_cogroup=True)
-            .groupBy(id_col)
-            .cogroup(
-                _kernel_partitioned(
-                    X_df.select(id_col, time_col, *exog_cols), id_col,
-                    for_cogroup=True
-                ).groupBy(id_col))
-            .applyInPandas(cokernel, schema)
-        )
+        return _apply_by_series_cogrouped(
+            df.select(id_col, time_col, target_col, *exog_cols),
+            X_df.select(id_col, time_col, *exog_cols), id_col, cokernel,
+            schema)
 
     # ------------------------------------------------------------------ #
     def fit(
@@ -344,12 +396,9 @@ class SparkForecast:
                                 columns=[id_col, "model", "state", time_col,
                                          "n_obs"])
 
-        return (
-            _kernel_partitioned(
-                df.select(id_col, time_col, target_col, *exog_cols), id_col)
-            .groupBy(id_col)
-            .applyInPandas(kernel, schema)
-        )
+        return _apply_by_series(
+            df.select(id_col, time_col, target_col, *exog_cols), id_col,
+            kernel, schema)
 
     def predict(
         self,
@@ -438,18 +487,14 @@ class SparkForecast:
             if missing:
                 raise ValueError(
                     f"series {uid!r}: no stored state for models {missing}")
-            return pd.DataFrame(data)[cols]
+            return pd.DataFrame(data, columns=cols)
 
         if X_df is None:
             def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 last = pdf[time_col].iloc[0]
                 return predict_rows(pdf, _future_index(last, h, freq), None)
 
-            return (
-                _kernel_partitioned(states, id_col)
-                .groupBy(id_col)
-                .applyInPandas(kernel, schema)
-            )
+            return _apply_by_series(states, id_col, kernel, schema)
 
         def cokernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             right = right.sort_values(time_col)
@@ -462,16 +507,9 @@ class SparkForecast:
                     f"expected h={h}")
             return predict_rows(left, right[time_col].to_numpy(), right)
 
-        return (
-            _kernel_partitioned(states, id_col, for_cogroup=True)
-            .groupBy(id_col)
-            .cogroup(
-                _kernel_partitioned(
-                    X_df.select(id_col, time_col, *exog_cols), id_col,
-                    for_cogroup=True
-                ).groupBy(id_col))
-            .applyInPandas(cokernel, schema)
-        )
+        return _apply_by_series_cogrouped(
+            states, X_df.select(id_col, time_col, *exog_cols), id_col,
+            cokernel, schema)
 
     # ------------------------------------------------------------------ #
     def fitted_values(
@@ -516,14 +554,10 @@ class SparkForecast:
                         z = norm_ppf(0.5 + lv / 200.0)
                         data[f"{alias}-lo-{lv}"] = vals - z * se
                         data[f"{alias}-hi-{lv}"] = vals + z * se
-            return pd.DataFrame(data)[cols]
+            return pd.DataFrame(data, columns=cols)
 
-        return (
-            _kernel_partitioned(
-                df.select(id_col, time_col, target_col), id_col)
-            .groupBy(id_col)
-            .applyInPandas(kernel, schema)
-        )
+        return _apply_by_series(
+            df.select(id_col, time_col, target_col), id_col, kernel, schema)
 
     # ------------------------------------------------------------------ #
     def simulate(
@@ -583,14 +617,10 @@ class SparkForecast:
                                               error_dist=error_dist,
                                               error_params=error_params)
                 data[repr(m)] = paths.reshape(-1)
-            return pd.DataFrame(data)[cols]
+            return pd.DataFrame(data, columns=cols)
 
-        return (
-            _kernel_partitioned(
-                df.select(id_col, time_col, target_col), id_col)
-            .groupBy(id_col)
-            .applyInPandas(kernel, schema)
-        )
+        return _apply_by_series(
+            df.select(id_col, time_col, target_col), id_col, kernel, schema)
 
     # ------------------------------------------------------------------ #
     def cross_validation(
@@ -728,22 +758,26 @@ class SparkForecast:
                         for lv in sorted(level or []):
                             out[f"{alias}-lo-{lv}"] = res[f"lo-{lv}"]
                             out[f"{alias}-hi-{lv}"] = res[f"hi-{lv}"]
-                data = {
+                win = {
                     id_col: np.repeat(pdf[id_col].iloc[0], h),
                     time_col: ts[train_end : train_end + h],
                     "cutoff": np.repeat(ts[train_end - 1], h),
                     target_col: y[train_end : train_end + h],
                 }
-                data.update(out)
-                frames.append(pd.DataFrame(data))
-            return pd.concat(frames, ignore_index=True)[cols]
+                win.update(out)
+                frames.append(win)
+            # one DataFrame per series, columns pre-concatenated (r6: the
+            # per-window pd.DataFrame + pd.concat + [cols] reindex was
+            # ~35% of the cheap-model cv kernel profile; same values, one
+            # construction)
+            if len(frames) == 1:
+                return pd.DataFrame(frames[0], columns=cols)
+            data = {c: np.concatenate([f[c] for f in frames]) for c in cols}
+            return pd.DataFrame(data, columns=cols)
 
-        out = (
-            _kernel_partitioned(
-                df.select(id_col, time_col, target_col, *keep_exog), id_col)
-            .groupBy(id_col)
-            .applyInPandas(kernel, schema)
-        )
+        out = _apply_by_series(
+            df.select(id_col, time_col, target_col, *keep_exog), id_col,
+            kernel, schema)
         return out.orderBy(id_col, "cutoff", time_col) if sort else out
 
     # ------------------------------------------------------------------ #
@@ -799,9 +833,5 @@ class SparkForecast:
                 frames.append(pd.DataFrame(data))
             return pd.concat(frames, ignore_index=True)[cols]
 
-        return (
-            _kernel_partitioned(
-                df.select(id_col, time_col, target_col), id_col)
-            .groupBy(id_col)
-            .applyInPandas(kernel, schema)
-        )
+        return _apply_by_series(
+            df.select(id_col, time_col, target_col), id_col, kernel, schema)

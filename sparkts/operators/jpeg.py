@@ -445,6 +445,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             break
     if sof is None or not scan_comps:
         raise ValueError("JPEG missing SOF0/SOS")
+    if len(scan_comps) != len(comps):
+        # a spec-legal non-interleaved baseline stream (multiple single-
+        # component scans, ns < frame components) would otherwise silently
+        # mis-decode with the wrong interleave (r6, round-5 ADVICE)
+        raise NotImplementedError(
+            f"non-interleaved baseline scan (ns={len(scan_comps)} of "
+            f"{len(comps)} components) unsupported")
     h, w = sof
     nbv, nbh = (h + 7) // 8, (w + 7) // 8
     br = _BitReader(buf, pos)

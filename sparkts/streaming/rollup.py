@@ -227,7 +227,23 @@ def compact_tier_output(spark, out_path: str, key_cols: list[str]) -> int:
     reads it once at start and offsets every checkpoint id above the
     consolidated generation (fresh or resumed checkpoint alike).
 
-    Returns the consolidated batch id."""
+    Namespace discipline (r6 fix of the round-5 ADVICE finding): stream
+    generations (< BATCH_ID_BASE) and batch-publish generations
+    (≥ BATCH_ID_BASE) are compacted SEPARATELY. Folding everything into
+    max(committed)+1 would, whenever any batch generation exists, land the
+    consolidated id — and the floor — inside the batch namespace, so later
+    stream micro-batches would allocate batch-namespace ids and a
+    subsequent ``commit_tier_batch`` could silently overwrite (or be
+    overwritten by) a live stream writer. Instead: the stream namespace
+    consolidates into max(stream ids)+1 (always < BATCH_ID_BASE — enforced)
+    and the floor stays inside the stream namespace; the batch namespace
+    needs no merge at all (snapshot-replaces-table: the highest batch id IS
+    the table), so compaction simply retires the superseded batch
+    generations. The merged-read semantics are unchanged either way:
+    latest-wins per bucket still sees exactly the same values.
+
+    Returns the consolidated stream batch id (or, when only batch
+    generations exist, the surviving snapshot id)."""
     committed = [
         int(r[0])
         for r in spark.read.parquet(f"{out_path}/commits")
@@ -235,19 +251,44 @@ def compact_tier_output(spark, out_path: str, key_cols: list[str]) -> int:
     ]
     if not committed:
         raise ValueError(f"nothing committed under {out_path}")
-    new_id = max(committed) + 1
-    merged = read_tier_stream_output(spark, out_path, key_cols)
-    commit_batch(merged, new_id, out_path)
-    # GC superseded generations (FS-agnostic via the Hadoop FileSystem API)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(out_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    for b in committed:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            f"{out_path}/commits/batch={b}"), True)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            f"{out_path}/data/batch={b}"), True)
-    # id floor for the next stream writer (see write_tier_stream)
+
+    def gc(ids):
+        for b in ids:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{out_path}/commits/batch={b}"), True)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{out_path}/data/batch={b}"), True)
+
+    stream_gens = [c for c in committed if c < BATCH_ID_BASE]
+    batch_gens = [c for c in committed if c >= BATCH_ID_BASE]
+    # batch namespace: highest id is the whole snapshot — older batch
+    # generations are pure garbage, retire them without a rewrite
+    if batch_gens:
+        gc(b for b in batch_gens if b != max(batch_gens))
+    if not stream_gens:
+        return max(batch_gens)
+    new_id = max(stream_gens) + 1
+    if new_id >= BATCH_ID_BASE:
+        raise ValueError(
+            f"stream id namespace exhausted under {out_path}: "
+            f"consolidated id {new_id} would enter the batch namespace")
+    # merged view of the STREAM generations only (a committed batch
+    # snapshot keeps shadowing per-bucket under latest-wins regardless)
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(f"{out_path}/data").where(
+        F.col("batch").isin(stream_gens))
+    w = W.partitionBy(*key_cols, "bucket").orderBy(F.col("batch").desc())
+    merged = (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn", "batch"))
+    commit_batch(merged, new_id, out_path)
+    # GC superseded stream generations only after the marker landed
+    gc(stream_gens)
+    # id floor for the next stream writer (see write_tier_stream); stays
+    # strictly inside the stream namespace
     spark.createDataFrame([(new_id + 1,)], "next_id long").coalesce(
         1).write.mode("overwrite").parquet(f"{out_path}/floor")
     return new_id

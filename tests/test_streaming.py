@@ -167,6 +167,48 @@ def test_stream_writer_after_compaction_respects_floor(spark, events_dir,
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
 
 
+def test_compaction_keeps_stream_floor_below_batch_namespace(
+        spark, events_dir, tmp_path_factory):
+    """r6 regression (round-5 ADVICE): compacting a directory that holds
+    BOTH stream micro-batches and a batch publish must keep the
+    consolidated stream id and the floor BELOW BATCH_ID_BASE — otherwise
+    later stream writers allocate batch-namespace ids and a subsequent
+    commit_tier_batch can collide with a live stream writer. Batch
+    generations are retired to the newest snapshot without a rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+    from sparkts.streaming.rollup import BATCH_ID_BASE
+    from sparkts.streaming import (commit_batch,
+                                   commit_tier_batch, compact_tier_output,
+                                   read_tier_snapshot)
+
+    out = str(tmp_path_factory.mktemp("tier_ns"))
+    raw = spark.read.parquet(events_dir)
+    tier = rollup_base(raw, "ts", ["event_type"], "value", "1m")
+    commit_batch(tier.where(F.dayofmonth("bucket") <= 15), 0, out)
+    commit_batch(tier.where(F.dayofmonth("bucket") > 15), 1, out)
+    snap0 = commit_tier_batch(tier.limit(5), out)
+    snap1 = commit_tier_batch(tier.limit(7), out)
+    assert snap1 == snap0 + 1
+
+    new_id = compact_tier_output(spark, out, ["event_type"])
+    # consolidated stream id stays in the stream namespace...
+    assert new_id == 2 and new_id < BATCH_ID_BASE
+    # ...the floor does too...
+    floor = int(spark.read.parquet(f"{out}/floor")
+                .agg(F.max("next_id")).collect()[0][0])
+    assert floor == new_id + 1 and floor < BATCH_ID_BASE
+    # ...the older batch snapshot is retired, the newest survives...
+    dirs = sorted(int(d.split("=")[1]) for d in os.listdir(f"{out}/data"))
+    assert dirs == [new_id, snap1]
+    # ...and a post-compaction batch publish allocates a FRESH id above
+    # the surviving snapshot (no collision with stream ids)
+    snap2 = commit_tier_batch(tier.limit(3), out)
+    assert snap2 == snap1 + 1
+    assert read_tier_snapshot(spark, out).count() == 3
+
+
 def test_uncommitted_orphan_batch_is_invisible(spark, events_dir,
                                                tmp_path_factory):
     """A crash BETWEEN the data write and the marker write leaves an
