@@ -301,3 +301,169 @@ int sparkts_ma_filter(const double *a, long long n,
     }
     return 0;
 }
+
+/*
+ * Dense-coefficient variant of sparkts_ma_filter (r6): the nonzero-lag
+ * scan happens here instead of in numpy (flatnonzero + fancy index +
+ * int64 conversion per objective evaluation).  mac = ma[1:]; pre-window
+ * residuals are implicitly zero (the CSS / zero-initial-condition case,
+ * the only one the search paths use).  Accumulation order is identical
+ * to sparkts_ma_filter with lags ascending, so results are bit-equal.
+ * Returns 1 (caller must fall back) when more than 64 coefficients are
+ * nonzero — far above any (p,q,P,Q,m) this engine reaches.
+ */
+int sparkts_ma_filter_dense(const double *a, long long n,
+                            const double *mac, long long nq,
+                            double *out)
+{
+    long long lags[64];
+    double coefs[64];
+    long long nlags = 0, t, k, j;
+    for (j = 0; j < nq; j++) {
+        if (mac[j] != 0.0) {
+            if (nlags >= 64)
+                return 1;
+            lags[nlags] = j + 1;
+            coefs[nlags] = mac[j];
+            nlags++;
+        }
+    }
+    for (t = 0; t < n; t++) {
+        double acc = a[t];
+        for (k = 0; k < nlags; k++) {
+            long long idx = t - lags[k];
+            if (idx >= 0)
+                acc -= coefs[k] * out[idx];
+        }
+        out[t] = acc;
+    }
+    return 0;
+}
+
+/*
+ * Stationarity/invertibility admissibility check (r6) — exact C twin of
+ * arima._factors_ok/_roots_ok: trim trailing zeros; degree 1 closed
+ * form; degree 2 via the quadratic formula with CPython's complex
+ * sqrt/division semantics (transcribed from Objects/complexobject.c so
+ * the boolean decision is bit-identical to the Python path); degree >= 3
+ * via the same Durbin step-down with thresh^k scaling.
+ */
+static void sparkts__c_quot(double ar, double ai, double br, double bi,
+                            double *qr, double *qi)
+{
+    /* CPython _Py_c_quot (Smith's algorithm), same branch structure */
+    const double abs_br = br < 0 ? -br : br;
+    const double abs_bi = bi < 0 ? -bi : bi;
+    if (abs_br >= abs_bi) {
+        if (abs_br == 0.0) {
+            *qr = *qi = 0.0;
+        } else {
+            const double ratio = bi / br;
+            const double denom = br + bi * ratio;
+            *qr = (ar + ai * ratio) / denom;
+            *qi = (ai - ar * ratio) / denom;
+        }
+    } else {
+        const double ratio = br / bi;
+        const double denom = br * ratio + bi;
+        *qr = (ar * ratio + ai) / denom;
+        *qi = (-ar + ai * ratio) / denom;
+    }
+}
+
+static void sparkts__c_sqrt(double ar, double ai, double *rr, double *ri)
+{
+    /* CPython c_pow(a, 0.5+0j) path from Objects/complexobject.c */
+    double vabs, len, at, phase;
+    if (ar == 0.0 && ai == 0.0) {
+        *rr = 0.0;
+        *ri = 0.0;
+        return;
+    }
+    vabs = hypot(ar, ai);
+    len = pow(vabs, 0.5);
+    at = atan2(ai, ar);
+    phase = at * 0.5;
+    *rr = len * cos(phase);
+    *ri = len * sin(phase);
+}
+
+static int sparkts__roots_ok(const double *poly, long long size,
+                             double thresh)
+{
+    double a[64], b[64];
+    double *cur = a, *nxt = b, *tmp;
+    long long sz = size, d, k, i;
+    while (sz > 1 && poly[sz - 1] == 0.0)
+        sz--; /* np.trim_zeros(poly, "b") */
+    if (sz <= 1)
+        return 1;
+    if (sz == 2) { /* 1 + c1*B -> root -1/c1 */
+        double c1 = poly[1];
+        return (c1 < 0 ? -c1 : c1) * thresh < 1.0;
+    }
+    if (sz == 3) { /* quadratic formula, CPython complex arithmetic */
+        double c1 = poly[1], c2 = poly[2];
+        double dr, di, r1r, r1i, r2r, r2i;
+        sparkts__c_sqrt(c1 * c1 - 4.0 * c2, 0.0, &dr, &di);
+        sparkts__c_quot(-c1 + dr, di, 2.0 * c2, 0.0, &r1r, &r1i);
+        sparkts__c_quot(-c1 - dr, -di, 2.0 * c2, 0.0, &r2r, &r2i);
+        return hypot(r1r, r1i) > thresh && hypot(r2r, r2i) > thresh;
+    }
+    d = sz - 1;
+    if (d > 64)
+        return -1; /* caller falls back to the Python path */
+    for (k = 1; k <= d; k++)
+        cur[k - 1] = -poly[k] * pow(thresh, (double)k);
+    for (k = d; k >= 1; k--) {
+        double r = cur[k - 1];
+        if (r != r || (r < 0 ? -r : r) >= 1.0)
+            return 0;
+        if (k > 1) {
+            double denom = 1.0 - r * r;
+            for (i = 0; i < k - 1; i++)
+                nxt[i] = (cur[i] + r * cur[k - 2 - i]) / denom;
+            tmp = cur;
+            cur = nxt;
+            nxt = tmp;
+        }
+    }
+    return 1;
+}
+
+int sparkts_factors_ok(const double *phi, long long p,
+                       const double *theta, long long q,
+                       const double *Phi, long long P,
+                       const double *Theta, long long Q,
+                       long long m)
+{
+    double buf[65];
+    double ts = pow(1.001, (double)m);
+    long long i;
+    int r;
+    if (p > 64 || q > 64 || P > 64 || Q > 64)
+        return -1;
+    buf[0] = 1.0;
+    for (i = 0; i < p; i++)
+        buf[i + 1] = -phi[i];
+    r = sparkts__roots_ok(buf, p + 1, 1.001);
+    if (r != 1)
+        return r;
+    buf[0] = 1.0;
+    for (i = 0; i < q; i++)
+        buf[i + 1] = theta[i];
+    r = sparkts__roots_ok(buf, q + 1, 1.001);
+    if (r != 1)
+        return r;
+    buf[0] = 1.0;
+    for (i = 0; i < P; i++)
+        buf[i + 1] = -Phi[i];
+    r = sparkts__roots_ok(buf, P + 1, ts);
+    if (r != 1)
+        return r;
+    buf[0] = 1.0;
+    for (i = 0; i < Q; i++)
+        buf[i + 1] = Theta[i];
+    r = sparkts__roots_ok(buf, Q + 1, ts);
+    return r;
+}

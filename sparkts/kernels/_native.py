@@ -73,6 +73,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
             ctypes.c_longlong, ctypes.c_void_p,
         ]
+        lib.sparkts_ma_filter_dense.restype = ctypes.c_int
+        lib.sparkts_ma_filter_dense.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.sparkts_factors_ok.restype = ctypes.c_int
+        lib.sparkts_factors_ok.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+        ]
         lib.sparkts_kalman_transient.restype = ctypes.c_int
         lib.sparkts_kalman_transient.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong,
@@ -125,6 +136,98 @@ def ets_calc(y, l0, b0, s0, m, trend, season,
                         scratch.ctypes.data)
     s = state[2:2 + m].tolist() if season != 0 else []
     return f, float(state[0]), float(state[1]), s
+
+
+def ma_filter_dense(a, mac):
+    """MA-feedback recursion with zero initial conditions, nonzero-lag
+    scan done in C (r6): bit-equal to ``ma_filter(a, nz+1, mac[nz],
+    zeros)`` with ``nz = flatnonzero(mac)``, minus the per-call numpy
+    index machinery.  ``mac`` = ma[1:] (may contain zeros)."""
+    a = _c64(a)
+    mac = _c64(mac)
+    n = a.size
+    out = np.empty(n)
+    rc = LIB.sparkts_ma_filter_dense(a.ctypes.data, n, mac.ctypes.data,
+                                     mac.size, out.ctypes.data)
+    if rc:  # >64 nonzero coefficients — take the explicit-lags path
+        nz = np.flatnonzero(mac)
+        return ma_filter(a, nz + 1, mac[nz], np.zeros(mac.size))
+    return out
+
+
+def factors_ok(phi, theta, Phi, Theta, m):
+    """C twin of arima._factors_ok (admissibility of the multiplicative
+    ARMA factor polynomials); returns None when the C path cannot decide
+    (degree > 64) and the caller must use the Python check."""
+    phi = _c64(phi)
+    theta = _c64(theta)
+    Phi = _c64(Phi)
+    Theta = _c64(Theta)
+    rc = LIB.sparkts_factors_ok(
+        phi.ctypes.data, phi.size, theta.ctypes.data, theta.size,
+        Phi.ctypes.data, Phi.size, Theta.ctypes.data, Theta.size, m)
+    if rc < 0:
+        return None
+    return bool(rc)
+
+
+def factors_ok_x(x, p, q, P, Q, m):
+    """`factors_ok` over the packed CSS parameter vector: phi/theta/Phi/
+    Theta are ADJACENT slices of ``x`` (the _expand_params layout), so one
+    base pointer + offsets replaces four per-slice ctypes conversions."""
+    x = _c64(x)
+    base = x.ctypes.data
+    rc = LIB.sparkts_factors_ok(
+        base, p, base + 8 * p, q, base + 8 * (p + q), P,
+        base + 8 * (p + q + P), Q, m)
+    if rc < 0:
+        return None
+    return bool(rc)
+
+
+def ets_prepare(y, m, season):
+    """Per-fit prepared ETS recursion call (r6, guide §4.5: heavyweight
+    argument preparation once per fit, not once per objective evaluation).
+
+    Returns ``call(l0, b0, s0, trend, alpha, beta, gamma, phi) -> f`` where
+    ``f`` is a buffer REUSED across calls (callers must consume it before
+    the next call — the NM objective does). The C kernel invoked is the
+    same ``sparkts_etscalc`` as :func:`ets_calc`, so every returned value
+    is bit-identical to the unprepared path; only the Python-side
+    conversions (y layout check, output allocation, s0 list→array) are
+    hoisted out of the per-eval hot loop."""
+    yc = _c64(y)
+    n = yc.size
+    f = np.empty(n)
+    fn = LIB.sparkts_etscalc
+    ydata, fdata = yc.ctypes.data, f.ctypes.data
+    if season != 0:
+        state = np.empty(2 + m)
+        scratch = np.empty(m)
+        s0buf = np.empty(m)
+        sdata, stdata, scdata = (s0buf.ctypes.data, state.ctypes.data,
+                                 scratch.ctypes.data)
+
+        def call(l0, b0, s0, trend, alpha, beta, gamma, phi):
+            s0buf[:] = s0
+            fn(ydata, n, l0, b0, sdata, m, trend, season,
+               alpha, beta, gamma, phi, fdata, stdata, scdata)
+            return f
+        # pin every buffer whose raw address the closure holds — without
+        # this the arrays are collected and the C kernel writes into freed
+        # memory (heap corruption, caught by the r6 bit-exactness probe)
+        call._keep = (yc, f, state, scratch, s0buf)
+    else:
+        state = np.empty(2)
+        stdata = state.ctypes.data
+        edata = _EMPTY.ctypes.data
+
+        def call(l0, b0, s0, trend, alpha, beta, gamma, phi):
+            fn(ydata, n, l0, b0, edata, m, trend, season,
+               alpha, beta, gamma, phi, fdata, stdata, edata)
+            return f
+        call._keep = (yc, f, state)
+    return call
 
 
 def kalman_transient(x, phi, theta, t_stop, min_steady):

@@ -38,11 +38,17 @@ def _poly_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _ar_poly(phi: np.ndarray) -> np.ndarray:
-    return np.concatenate(([1.0], -phi))
+    out = np.empty(phi.size + 1)
+    out[0] = 1.0
+    np.negative(phi, out=out[1:])
+    return out
 
 
 def _ma_poly(theta: np.ndarray) -> np.ndarray:
-    return np.concatenate(([1.0], theta))
+    out = np.empty(theta.size + 1)
+    out[0] = 1.0
+    out[1:] = theta
+    return out
 
 
 def _seasonal_expand(coefs: np.ndarray, m: int) -> np.ndarray:
@@ -109,6 +115,13 @@ def _factors_ok(parts, m: int) -> bool:
     (on degree ≤ 2 polys, closed form) are exactly equivalent to checking
     the expanded product like the previous np.roots path did."""
     phi, theta, Phi, Theta = parts
+    if _native.LIB is not None:
+        # r6: one C call instead of four Python Durbin/quadratic checks —
+        # exact transcription incl. CPython's complex sqrt/division, so
+        # the boolean is identical (tests/test_native.py pins it)
+        ok = _native.factors_ok(phi, theta, Phi, Theta, m)
+        if ok is not None:
+            return ok
     ts = 1.001 ** m
     return (_roots_ok(_ar_poly(phi)) and _roots_ok(_ma_poly(theta))
             and _roots_ok(_ar_poly(Phi), ts) and _roots_ok(_ma_poly(Theta), ts))
@@ -118,6 +131,37 @@ def _factors_ok(parts, m: int) -> bool:
 # CSS estimation
 # ---------------------------------------------------------------------------
 
+def _sparse_seasonal_mul(base: np.ndarray, seas: np.ndarray, m: int) -> np.ndarray:
+    """base(B)·seas(B^m) when deg(base) < m: every product lands in its
+    own slot (i + j·m collide only when deg(base) ≥ m), so the convolution
+    is a scatter of single products — value-identical to np.convolve
+    (each convolve output is that one product plus explicit zeros; only
+    the sign of zero coefficients can differ, which no consumer of these
+    polynomials observes: they are compared to 0, multiplied, or summed
+    into nonzero accumulators)."""
+    nb, ns = base.size, seas.size
+    out = np.zeros(nb + ns - 1)
+    for j in range(0, ns, m):
+        sj = seas[j]
+        if sj == 1.0:
+            out[j : j + nb] = base
+        else:
+            np.multiply(base, sj, out=out[j : j + nb])
+    return out
+
+
+def _factors_ok_x(x, p, q, P, Q, m, parts) -> bool:
+    """_factors_ok for parts that are adjacent slices of the packed
+    parameter vector ``x`` (the _expand_params layout): one C call on the
+    base pointer (r6). Falls back to the general check when no native
+    library (or an over-cap degree) is available."""
+    if _native.LIB is not None:
+        ok = _native.factors_ok_x(x, p, q, P, Q, m)
+        if ok is not None:
+            return ok
+    return _factors_ok(parts, m)
+
+
 def _expand_params(x, p, q, P, Q, m, use_mean):
     i = 0
     phi = x[i : i + p]; i += p
@@ -125,8 +169,21 @@ def _expand_params(x, p, q, P, Q, m, use_mean):
     Phi = x[i : i + P]; i += P
     Theta = x[i : i + Q]; i += Q
     mu = x[i] if use_mean else 0.0
-    ar = _poly_mul(_ar_poly(phi), _seasonal_expand(_ar_poly(Phi), m) if P else np.array([1.0]))
-    ma = _poly_mul(_ma_poly(theta), _seasonal_expand(_ma_poly(Theta), m) if Q else np.array([1.0]))
+    # r6 fast paths: no seasonal factor → the polynomial IS the base factor
+    # (convolving with [1.0] multiplies every coefficient by 1.0 — the
+    # exact identity); seasonal factor with deg(base) < m → sparse scatter
+    if P == 0:
+        ar = _ar_poly(phi)
+    elif p < m:
+        ar = _sparse_seasonal_mul(_ar_poly(phi), _seasonal_expand(_ar_poly(Phi), m), m)
+    else:
+        ar = _poly_mul(_ar_poly(phi), _seasonal_expand(_ar_poly(Phi), m))
+    if Q == 0:
+        ma = _ma_poly(theta)
+    elif q < m:
+        ma = _sparse_seasonal_mul(_ma_poly(theta), _seasonal_expand(_ma_poly(Theta), m), m)
+    else:
+        ma = _poly_mul(_ma_poly(theta), _seasonal_expand(_ma_poly(Theta), m))
     return ar, ma, mu, (phi, theta, Phi, Theta)
 
 
@@ -144,12 +201,13 @@ def _css_resid(z: np.ndarray, ar: np.ndarray, ma: np.ndarray) -> np.ndarray:
     a = np.convolve(z, ar)[:n]
     if nq == 0:
         return a[np_:].copy()
-    mac = ma[1:]
-    nz = np.flatnonzero(mac)
     if _native.LIB is not None:
         # bit-exact C twin of every specialized loop below (guide §4.2);
-        # pinned to the Python paths in tests/test_native.py
-        return _native.ma_filter(a[np_:], nz + 1, mac[nz], np.zeros(nq))
+        # pinned to the Python paths in tests/test_native.py. r6: the
+        # dense variant scans for nonzero lags in C.
+        return _native.ma_filter_dense(a[np_:], ma[1:])
+    mac = ma[1:]
+    nz = np.flatnonzero(mac)
     coefs = [(int(j) + 1, float(mac[j])) for j in nz]
     if len(coefs) == 1:
         lag, c = coefs[0]
@@ -279,9 +337,7 @@ def _ma_invert_auto(b: np.ndarray, ma: np.ndarray, parts=None,
         # ~30× faster than the FFT approximations below at kernel series
         # lengths — n·nnz(ma) multiply-adds at C speed. The FFT paths stay
         # as the no-compiler fallback.
-        mac = ma[1:]
-        nz = np.flatnonzero(mac)
-        return _native.ma_filter(b, nz + 1, mac[nz], np.zeros(ma.size - 1))
+        return _native.ma_filter_dense(b, ma[1:])
     if parts is not None and m > 1 and parts[1].size and parts[3].size:
         e = _spectral_invert(b, ma)
         if e is not None:
@@ -608,7 +664,7 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None,
 
     def objective_full(x):
         ar, ma, mu, parts = _expand_params(x, p, q, P, Q, m, use_mean)
-        if check_roots and not _factors_ok(parts, m):
+        if check_roots and not _factors_ok_x(x, p, q, P, Q, m, parts):
             return np.inf
         # search-phase fits trade the exact MA feedback loop for the FFT
         # truncated-inversion path (falls back near the invertibility
@@ -955,7 +1011,7 @@ def _ml_refine(z, p, q, P, Q, m, use_mean, fit, maxiter=300, fixed=None):
         x = fixed_full.copy()
         x[free] = x_free
         ar, ma, mu, parts_ = _expand_params(x, p, q, P, Q, m, use_mean)
-        if not _factors_ok(parts_, m):
+        if not _factors_ok_x(x, p, q, P, Q, m, parts_):
             return np.inf
         # capped exact transient inside the optimizer loop (see
         # _arma_exact_loglik); the final loglik below is uncapped. 80

@@ -288,12 +288,24 @@ def _fit_one(y, m, error, trend, season, damped, maxiter=600, fixed=None,
         freeze[len(sm_names):] = True
     free = ~freeze
 
-    def objective_full(x):
-        a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)
-        if not _admissible(a, b_, g, ph, trend, season):
-            return np.inf
-        f, *_ = _etscalc(y, l_, bb, ss, m, trend, season, a, b_, g, ph)
-        return _lik(y, f, error)
+    if _native.LIB is not None:
+        # r6: argument prep hoisted out of the eval loop (same C kernel,
+        # bit-identical f; ~2× fewer μs per NM evaluation — guide §4.5)
+        _ets_call = _native.ets_prepare(y, m, season)
+
+        def objective_full(x):
+            a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)
+            if not _admissible(a, b_, g, ph, trend, season):
+                return np.inf
+            f = _ets_call(l_, bb, ss, trend, a, b_, g, ph)
+            return _lik(y, f, error)
+    else:
+        def objective_full(x):
+            a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)
+            if not _admissible(a, b_, g, ph, trend, season):
+                return np.inf
+            f, *_ = _etscalc(y, l_, bb, ss, m, trend, season, a, b_, g, ph)
+            return _lik(y, f, error)
 
     if not free.any():
         xb, fb = x0, objective_full(x0)

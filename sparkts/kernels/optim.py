@@ -9,6 +9,7 @@ kernels land in the same minima on the same objectives.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import numpy as np
@@ -54,10 +55,55 @@ def nelder_mead(
         return np.clip(x, lower, upper)
 
     for _ in range(max_iter):
-        order = np.argsort(f, kind="stable")
-        best, second_worst, worst = order[0], order[-2], order[-1]
-        if np.all(np.isfinite(f)) and np.std(f) < tol_std + tol_rel * abs(f[best]):
-            break
+        # best/second-worst/worst via one Python-float scan instead of a
+        # stable argsort + isfinite + std per iteration (r6, guide §4.2 —
+        # this loop runs ~10⁵ times per AutoARIMA/AutoETS task and the
+        # small-array numpy dispatch overhead dominated it). The scan
+        # reproduces np.argsort(f, kind="stable") extrema exactly: ties
+        # resolve to the FIRST index for the minimum and to the LAST
+        # indices for the two maxima — the (value, index) lexicographic
+        # order stable argsort yields. Any NaN falls back to the original
+        # numpy path verbatim.
+        fl = f.tolist()
+        np1 = len(fl)
+        nan_seen = False
+        best = 0
+        bv = fl[0]
+        worst = 0
+        wv1 = fl[0]
+        second_worst = -1
+        wv2 = 0.0
+        all_finite = math.isfinite(fl[0])
+        for i in range(1, np1):
+            v = fl[i]
+            if v != v:
+                nan_seen = True
+                break
+            if not (-math.inf < v < math.inf):
+                all_finite = False
+            if v < bv:
+                best, bv = i, v
+            if v >= wv1:
+                second_worst, wv2 = worst, wv1
+                worst, wv1 = i, v
+            elif second_worst < 0 or v >= wv2:
+                second_worst, wv2 = i, v
+        if nan_seen:
+            order = np.argsort(f, kind="stable")
+            best, second_worst, worst = order[0], order[-2], order[-1]
+            bv = float(f[best])
+            all_finite = bool(np.all(np.isfinite(f)))
+        if all_finite:
+            tol = tol_std + tol_rel * abs(bv)
+            # std(f) >= (max-min)/sqrt(2*N) for any N values, so when the
+            # spread is comfortably above tol the (expensive) np.std call
+            # cannot trigger convergence — skip it; when the spread is
+            # small, evaluate np.std(f) < tol exactly as before (the 2x
+            # margin swallows float rounding, keeping the break decision
+            # bit-identical to the pre-r6 loop).
+            if (wv1 - bv) <= 2.0 * tol * math.sqrt(2.0 * np1) \
+                    and np.std(f) < tol:
+                break
         centroid = (simplex.sum(axis=0) - simplex[worst]) / n
         xr = clamp(centroid + alpha * (centroid - simplex[worst]))
         fr = fn(xr)
