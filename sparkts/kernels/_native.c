@@ -467,3 +467,75 @@ int sparkts_factors_ok(const double *phi, long long p,
     r = sparkts__roots_ok(buf, Q + 1, ts);
     return r;
 }
+
+/*
+ * SES level trajectory (r6) — C body of scan._ses_levels.  The cpow
+ * arrays (c^0..c^{k-1}) are computed by the CALLER with numpy so their
+ * bits match the original block formula exactly (numpy's SIMD pow is not
+ * libm pow); this function reproduces the remaining divide / sequential
+ * cumsum / combine steps in identical order, so levels are bit-equal to
+ * the numpy path.  cp64 = c**arange(64) (used by every full block),
+ * cptail = c**arange(ktail) (the final partial block; unused if
+ * ktail == 0).
+ */
+int sparkts_ses_levels(const double *y, long long n, double alpha,
+                       const double *cp64, const double *cptail,
+                       double *levels)
+{
+    double c = 1.0 - alpha;
+    double cinv[64], t[64];
+    double l_prev;
+    long long start = 1, j, k;
+    if (n <= 0)
+        return 0;
+    l_prev = levels[0] = y[0];
+    while (start < n) {
+        long long end = start + 64 < n ? start + 64 : n;
+        const double *cpow;
+        k = end - start;
+        cpow = (k == 64) ? cp64 : cptail;
+        if (cpow[k - 1] == 0.0) { /* alpha == 1 edge */
+            for (j = 0; j < k; j++)
+                cinv[j] = y[start + j] / (cpow[j] == 0.0 ? 1.0 : cpow[j]);
+        } else {
+            for (j = 0; j < k; j++)
+                cinv[j] = y[start + j] / cpow[j];
+        }
+        t[0] = cinv[0];
+        for (j = 1; j < k; j++)
+            t[j] = t[j - 1] + cinv[j];
+        for (j = 0; j < k; j++)
+            levels[start + j] = (c * cpow[j]) * l_prev
+                                + alpha * cpow[j] * t[j];
+        l_prev = levels[end - 1];
+        start = end;
+    }
+    return 0;
+}
+
+/*
+ * SES sum-of-squared-errors objective fully in C (r6): levels via
+ * sparkts_ses_levels (caller-supplied cpow arrays keep numpy pow bits),
+ * one-step errors, then the SAME BLAS ddot numpy's np.dot dispatches to
+ * (function pointer installed once from Python via sparkts_set_ddot —
+ * verified bit-equal to np.dot in tests).  This collapses ~6 numpy
+ * dispatches per golden-section evaluation into one FFI call.
+ */
+typedef double (*sparkts_ddot_t)(long long, const double *, long long,
+                                 const double *, long long);
+static sparkts_ddot_t sparkts_ddot = 0;
+
+void sparkts_set_ddot(void *fn) { sparkts_ddot = (sparkts_ddot_t)fn; }
+
+double sparkts_ses_sse(const double *y, long long n, double alpha,
+                       const double *cp64, const double *cptail,
+                       double *levels, double *e)
+{
+    long long t;
+    if (n <= 0)
+        return 0.0;
+    sparkts_ses_levels(y, n, alpha, cp64, cptail, levels);
+    for (t = 0; t + 1 < n; t++)
+        e[t] = y[t + 1] - levels[t];
+    return sparkts_ddot(n - 1, e, 1, e, 1);
+}

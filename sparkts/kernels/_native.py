@@ -84,6 +84,19 @@ def _load():
             ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
         ]
+        lib.sparkts_ses_levels.restype = ctypes.c_int
+        lib.sparkts_ses_levels.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.sparkts_ses_sse.restype = ctypes.c_double
+        lib.sparkts_ses_sse.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.sparkts_set_ddot.restype = None
+        lib.sparkts_set_ddot.argtypes = [ctypes.c_void_p]
         lib.sparkts_kalman_transient.restype = ctypes.c_int
         lib.sparkts_kalman_transient.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong,
@@ -98,6 +111,77 @@ def _load():
 
 
 LIB = _load()
+
+
+def _find_ddot():
+    """Install numpy's own BLAS ddot into the C library (r6).
+
+    np.dot on 1-D contiguous float64 dispatches to cblas_ddot of the
+    BLAS numpy was built against; calling the SAME symbol from C keeps
+    dot products bit-identical to np.dot (pinned in tests/test_native.py).
+    Returns the ctypes handle (kept alive at module scope) or None —
+    callers must fall back to np.dot when unavailable."""
+    if LIB is None:
+        return None
+    try:
+        import glob
+
+        import numpy as _np
+
+        libs_dir = os.path.join(
+            os.path.dirname(os.path.dirname(_np.__file__)), "numpy.libs")
+        for so in sorted(glob.glob(os.path.join(libs_dir, "libopenblas*"))):
+            try:
+                h = ctypes.CDLL(so)
+            except OSError:
+                continue
+            for sym in ("cblas_ddot64_", "cblas_ddot"):
+                fn = getattr(h, sym, None)
+                if fn is not None:
+                    addr = ctypes.cast(fn, ctypes.c_void_p).value
+                    # confirm bit-equality with np.dot before trusting it
+                    fn.restype = ctypes.c_double
+                    fn.argtypes = [ctypes.c_longlong, ctypes.c_void_p,
+                                   ctypes.c_longlong, ctypes.c_void_p,
+                                   ctypes.c_longlong]
+                    rng = _np.random.default_rng(0)
+                    for n in (1, 3, 7, 16, 63, 64, 200, 513):
+                        e = rng.normal(0, 1, n)
+                        if float(_np.dot(e, e)) != fn(
+                                n, e.ctypes.data, 1, e.ctypes.data, 1):
+                            return None
+                    LIB.sparkts_set_ddot(addr)
+                    return h
+    except Exception:
+        return None
+    return None
+
+
+_DDOT_HANDLE = _find_ddot()
+HAS_DDOT = _DDOT_HANDLE is not None
+
+
+def ses_sse_prepare(y, cp64, cptail):
+    """Per-fit prepared SES SSE objective (guide §4.5): returns
+    ``call(alpha) -> float`` with y/scratch/power-buffer pointers all
+    bound once (the caller refills cp64/cptail per alpha via
+    ``np.power(..., out=...)``), or None when the BLAS ddot hook is
+    unavailable. Results are bit-identical to scan.ses_sse (same levels
+    arithmetic, same ddot)."""
+    if not HAS_DDOT:
+        return None
+    yc = _c64(y)
+    n = yc.size
+    levels = np.empty(max(n, 1))
+    e = np.empty(max(n - 1, 1))
+    fn = LIB.sparkts_ses_sse
+    yd, ld, ed = yc.ctypes.data, levels.ctypes.data, e.ctypes.data
+    cd, td = cp64.ctypes.data, cptail.ctypes.data
+
+    def call(alpha):
+        return fn(yd, n, alpha, cd, td, ld, ed)
+    call._keep = (yc, levels, e, cp64, cptail)
+    return call
 
 _EMPTY = np.empty(0, dtype=np.float64)
 # reusable per-process scratch (Spark python workers are single-threaded;
@@ -169,6 +253,18 @@ def factors_ok(phi, theta, Phi, Theta, m):
     if rc < 0:
         return None
     return bool(rc)
+
+
+def ses_levels(y, alpha, cp64, cptail):
+    """C body of scan._ses_levels; the caller supplies the numpy-computed
+    c**arange power arrays so the bits match the original block formula
+    (numpy's SIMD pow differs from libm pow in the last ulp)."""
+    y = _c64(y)
+    out = np.empty(y.size)
+    LIB.sparkts_ses_levels(y.ctypes.data, y.size, alpha,
+                           cp64.ctypes.data, cptail.ctypes.data,
+                           out.ctypes.data)
+    return out
 
 
 def factors_ok_x(x, p, q, P, Q, m):

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from sparkts.kernels import _native
+
 _GOLDEN = (np.sqrt(5.0) + 1.0) / 2.0
 _BLOCK = 64
 # exponent grid reused by every block (float64, same values np.arange(k,
@@ -27,6 +29,7 @@ _BLOCK = 64
 # saves one allocation per call; golden-section runs ~54 SSE evals per fit,
 # so per-call overhead is the optimizer's hot path)
 _ARANGE = np.arange(_BLOCK, dtype=np.float64)
+_EMPTY64 = np.empty(0, dtype=np.float64)
 
 
 def _ses_levels(y: np.ndarray, alpha: float) -> np.ndarray:
@@ -34,6 +37,18 @@ def _ses_levels(y: np.ndarray, alpha: float) -> np.ndarray:
     ses_sse). Bit-identical to the original block formula — the where()
     guard on c^j == 0 only triggers at α == 1 (c = 0), so the common path
     divides directly."""
+    if _native.LIB is not None and y.size > 1:
+        # r6: bit-exact C body for the block formula below (pinned in
+        # tests/test_native.py) — the golden-section optimizer calls this
+        # ~54× per fit and the numpy dispatch overhead dominated it. The
+        # c**arange power arrays stay numpy-computed (SIMD pow bits);
+        # everything downstream of them is plain sequential arithmetic
+        # the C twin reproduces in identical order.
+        c = 1.0 - alpha
+        ktail = (y.size - 1) % _BLOCK
+        cp64 = (c ** _ARANGE) if y.size - 1 > ktail else _EMPTY64
+        cptail = (c ** _ARANGE[:ktail]) if ktail else _EMPTY64
+        return _native.ses_levels(y, alpha, cp64, cptail)
     n = y.size
     c = 1.0 - alpha
     levels = np.empty(n, dtype=np.float64)
@@ -96,22 +111,58 @@ def golden_section_ses(
     a, b = float(lower), float(upper)
     c_pt = b - (b - a) / _GOLDEN
     d_pt = a + (b - a) / _GOLDEN
-    fc = ses_sse(y, c_pt)
-    fd = ses_sse(y, d_pt)
+    sse = _sse_fn(y)
+    fc = sse(c_pt)
+    fd = sse(d_pt)
     for _ in range(80):
         if abs(b - a) < 1e-12:
             break
         if fc < fd:
             b, d_pt, fd = d_pt, c_pt, fc
             c_pt = b - (b - a) / _GOLDEN
-            fc = ses_sse(y, c_pt)
+            fc = sse(c_pt)
         elif fd < fc:
             a, c_pt, fc = c_pt, d_pt, fd
             d_pt = a + (b - a) / _GOLDEN
-            fd = ses_sse(y, d_pt)
+            fd = sse(d_pt)
         else:
             break
     return (a + b) / 2.0
+
+
+def _sse_fn(y: np.ndarray):
+    """alpha → SSE objective for the golden-section loop. With the native
+    library + BLAS hook, the whole evaluation (levels, errors, ddot) is
+    ONE C call per alpha — bit-identical to ses_sse (guide §4.2/§4.5);
+    the c**arange power arrays stay numpy-computed for bit parity."""
+    y = np.asarray(y, dtype=np.float64)
+    n1 = y.size - 1
+    if _native.LIB is None or n1 < 1:
+        return lambda alpha: ses_sse(y, alpha)
+    ktail = n1 % _BLOCK
+    cp64 = np.empty(_BLOCK) if n1 > ktail else _EMPTY64
+    cptail = np.empty(ktail) if ktail else _EMPTY64
+    call = _native.ses_sse_prepare(y, cp64, cptail)
+    if call is None:
+        return lambda alpha: ses_sse(y, alpha)
+    ar_t = _ARANGE[:ktail]
+    # np.power(c, grid, out=buf) runs the same ufunc loop as c ** grid —
+    # identical bits — while keeping the buffer pointer bound in `call`
+    if ktail and cp64 is not _EMPTY64:
+        def sse(alpha):
+            c = 1.0 - alpha
+            np.power(c, _ARANGE, out=cp64)
+            np.power(c, ar_t, out=cptail)
+            return call(alpha)
+    elif ktail:
+        def sse(alpha):
+            np.power(1.0 - alpha, ar_t, out=cptail)
+            return call(alpha)
+    else:
+        def sse(alpha):
+            np.power(1.0 - alpha, _ARANGE, out=cp64)
+            return call(alpha)
+    return sse
 
 
 def optimized_ses(
