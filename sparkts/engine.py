@@ -49,18 +49,21 @@ _BKT = "__sparkts_bkt"
 def _kernel_parallelism(df: DataFrame) -> tuple[int, int]:
     """(n_partitions, n_buckets) for grouped-map kernels.
 
-    Scale-adaptive: partitions follow the cluster's parallelism (×1:
-    measured at local[32]/2k series, one task wave beat ×2's two waves
-    1.49 s vs 1.89 s — the per-task Arrow/scheduling overhead outweighs
-    the wave-overlap slack), buckets ×8 the partitions so each partition
-    averages ~8 buckets and per-partition row counts concentrate (a sum
-    of 8 multinomial cells ≈ ±6% at 2k series — tighter than the round-4
-    range-partitioning row balance, and without its sampling job).
-    ``SPARKTS_KERNEL_BUCKETS`` overrides the bucket count for deployments
-    whose series-count/core ratio is extreme."""
+    Scale-adaptive: partitions = 2× the cluster's parallelism — the
+    standard 2-tasks-per-core sizing, so the scheduler can back-fill
+    stragglers (guide §2.5/§2.6). r6 measurement on the heavy AutoARIMA/
+    AutoETS legs (200 long series, hash placement leaves the worst
+    partition ~1.7× the mean): ×2 cut the wall 5.4→4.2 s / 4.5→3.3 s
+    while the 2 000-series cheap-model cv was flat (1.39 vs 1.38 s);
+    ×4 helped the heavy legs more but cost the cheap cv ~20% in per-task
+    overhead, so ×2 is the default. Buckets stay at 8× parallelism
+    (unchanged absolute count: the number of Python grouped-map calls is
+    the number of non-empty buckets, so more partitions don't add
+    boundary crossings). ``SPARKTS_KERNEL_BUCKETS`` overrides the bucket
+    count for deployments whose series-count/core ratio is extreme."""
     sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    b = int(os.environ.get("SPARKTS_KERNEL_BUCKETS", "0")) or n * 8
+    n = sc.defaultParallelism * 2
+    b = int(os.environ.get("SPARKTS_KERNEL_BUCKETS", "0")) or n * 4
     return n, b
 
 
