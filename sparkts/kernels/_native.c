@@ -539,3 +539,29 @@ double sparkts_ses_sse(const double *y, long long n, double alpha,
         e[t] = y[t + 1] - levels[t];
     return sparkts_ddot(n - 1, e, 1, e, 1);
 }
+
+/*
+ * ETS likelihood SSE (r6): e = y - f (additive error) or (y - f)/f with
+ * the |f| < 1e-10 guard (multiplicative; returns -1.0 when the guard
+ * trips, which no true SSE >= 0 can), then the SAME BLAS ddot numpy
+ * dispatches to.  Bit-equal to the numpy _lik SSE; the caller keeps the
+ * log/AICc arithmetic in Python.
+ */
+double sparkts_ets_sse(const double *y, const double *f, double *e,
+                       long long n, int mult)
+{
+    long long i;
+    if (mult) {
+        for (i = 0; i < n; i++) {
+            double fi = f[i];
+            if (fi < TOL && fi > -TOL)
+                return -1.0;
+        }
+        for (i = 0; i < n; i++)
+            e[i] = (y[i] - f[i]) / f[i];
+    } else {
+        for (i = 0; i < n; i++)
+            e[i] = y[i] - f[i];
+    }
+    return sparkts_ddot(n, e, 1, e, 1);
+}

@@ -97,6 +97,11 @@ def _load():
         ]
         lib.sparkts_set_ddot.restype = None
         lib.sparkts_set_ddot.argtypes = [ctypes.c_void_p]
+        lib.sparkts_ets_sse.restype = ctypes.c_double
+        lib.sparkts_ets_sse.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_int,
+        ]
         lib.sparkts_kalman_transient.restype = ctypes.c_int
         lib.sparkts_kalman_transient.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong,
@@ -313,6 +318,7 @@ def ets_prepare(y, m, season):
         # this the arrays are collected and the C kernel writes into freed
         # memory (heap corruption, caught by the r6 bit-exactness probe)
         call._keep = (yc, f, state, scratch, s0buf)
+        call.f = f
     else:
         state = np.empty(2)
         stdata = state.ctypes.data
@@ -323,7 +329,28 @@ def ets_prepare(y, m, season):
                alpha, beta, gamma, phi, fdata, stdata, edata)
             return f
         call._keep = (yc, f, state)
+        call.f = f
     return call
+
+
+def ets_lik_prepare(y, f):
+    """Prepared SSE step of the ETS likelihood over the FIXED (y, f)
+    buffers of one fit (f = the ets_prepare output buffer): returns
+    ``sse(mult) -> float`` bit-equal to the numpy ``_lik`` SSE (same
+    subtraction/division order, same BLAS ddot; -1.0 encodes the
+    multiplicative |f|<tol guard). None without the BLAS hook."""
+    if not HAS_DDOT:
+        return None
+    yc = _c64(y)
+    n = yc.size
+    e = np.empty(max(n, 1))
+    fn = LIB.sparkts_ets_sse
+    yd, fd, ed = yc.ctypes.data, f.ctypes.data, e.ctypes.data
+
+    def sse(mult):
+        return fn(yd, fd, ed, n, mult)
+    sse._keep = (yc, f, e)
+    return sse
 
 
 def kalman_transient(x, phi, theta, t_stop, min_steady):

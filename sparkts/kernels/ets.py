@@ -292,13 +292,40 @@ def _fit_one(y, m, error, trend, season, damped, maxiter=600, fixed=None,
         # r6: argument prep hoisted out of the eval loop (same C kernel,
         # bit-identical f; ~2× fewer μs per NM evaluation — guide §4.5)
         _ets_call = _native.ets_prepare(y, m, season)
+        _sse = _native.ets_lik_prepare(y, _ets_call.f)
+        _is_m = error == _M
+        _n_f = float(y.size)
 
-        def objective_full(x):
-            a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)
-            if not _admissible(a, b_, g, ph, trend, season):
-                return np.inf
-            f = _ets_call(l_, bb, ss, trend, a, b_, g, ph)
-            return _lik(y, f, error)
+        if _sse is not None:
+            def objective_full(x):
+                a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season,
+                                                   damped)
+                if not _admissible(a, b_, g, ph, trend, season):
+                    return np.inf
+                f = _ets_call(l_, bb, ss, trend, a, b_, g, ph)
+                # inlined _lik with the SSE step in C (bit-equal: same
+                # subtract/divide order, same BLAS ddot; -1 = the
+                # multiplicative |f|<tol guard, matching bad.any())
+                if _is_m:
+                    sse = _sse(1)
+                    if sse == -1.0:
+                        return np.inf
+                    extra = 2.0 * float(np.sum(np.log(np.abs(f))))
+                else:
+                    sse = _sse(0)
+                    extra = 0.0
+                if not np.isfinite(sse) or sse <= 0:
+                    return (np.inf if not np.isfinite(sse)
+                            else _n_f * np.log(1e-300))
+                return _n_f * np.log(sse) + extra
+        else:
+            def objective_full(x):
+                a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season,
+                                                   damped)
+                if not _admissible(a, b_, g, ph, trend, season):
+                    return np.inf
+                f = _ets_call(l_, bb, ss, trend, a, b_, g, ph)
+                return _lik(y, f, error)
     else:
         def objective_full(x):
             a, b_, g, ph, l_, bb, ss = _unpack(x, m, trend, season, damped)

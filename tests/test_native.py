@@ -300,3 +300,29 @@ def test_nelder_mead_scan_matches_argsort_semantics():
         xb, fb = nm_reference(fn, x0, lo, hi, max_iter=200)
         assert np.array_equal(xa, xb), trial
         assert fa == fb or (np.isinf(fa) and np.isinf(fb)), trial
+
+
+def test_ets_sse_bit_exact():
+    """C SSE step of the ETS likelihood equals the numpy _lik arithmetic
+    for both error types, including the multiplicative |f|<tol guard."""
+    if nat.LIB is None or not nat.HAS_DDOT:
+        pytest.skip("no C compiler or BLAS hook")
+    rng = np.random.default_rng(12)
+    for trial in range(500):
+        n = int(rng.integers(2, 400))
+        y = rng.normal(50, 10, n)
+        f = y + rng.normal(0, 5, n)
+        if trial % 7 == 0:
+            f[rng.integers(0, n)] = rng.choice([0.0, 5e-11, -5e-11])
+        fb = np.ascontiguousarray(f)
+        sse_fn = nat.ets_lik_prepare(y, fb)
+        # additive
+        e = y - fb
+        assert sse_fn(0) == float(np.dot(e, e))
+        # multiplicative
+        got = sse_fn(1)
+        if (np.abs(fb) < 1e-10).any():
+            assert got == -1.0
+        else:
+            em = (y - fb) / fb
+            assert got == float(np.dot(em, em))
