@@ -75,19 +75,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
-    """H-bit random-hyperplane signature as a long (H ≤ 62)."""
-    bits = []
-    for i, p in enumerate(planes):
-        pc = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(_dot(F.col(vec_col), pc) >= 0, F.lit(2**i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    key = bits[0]
-    for b in bits[1:]:
-        key = key + b
-    return key
+    """H-bit random-hyperplane signature as a long (H ≤ 62).
+
+    r6: one nested plane literal + transform/aggregate instead of H
+    separate when-expressions — a much smaller expression tree (faster
+    analysis/codegen per invocation), with identical values: the same
+    zip_with/aggregate dot per plane decides each bit, shiftleft(1, i)
+    == 2^i exactly, and the bit weights sum in the same ascending order
+    (integer adds — order-insensitive anyway)."""
+    v = F.col(vec_col)
+    parr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    bits = F.transform(
+        parr,
+        lambda p, i: F.when(
+            _dot(v, p) >= 0,
+            # pow(2, i) is exact for i <= 62 and casts to the same long
+            # 2**i literal the per-plane chain used (shiftleft only takes
+            # a Python int for its shift amount, not the lambda index)
+            F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def lsh_ann_topk(
@@ -209,8 +218,15 @@ def lloyd_kmeans(sample: np.ndarray, n_lists: int, iters: int = 10,
     oracle that must reproduce identical centroids."""
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(sample.shape[0], n_lists, replace=False)].copy()
+    n = sample.shape[0]
+    # r6: distances one centroid at a time instead of one (n, k, dim)
+    # broadcast temporary — ~5× less allocation traffic, and bit-equal
+    # (the reduction runs over the same contiguous dim-axis rows, so the
+    # pairwise-summation tree is unchanged; pinned in tests/test_ivf.py)
+    d = np.empty((n, n_lists))
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        for j in range(n_lists):
+            d[:, j] = ((sample - cent[j]) ** 2).sum(axis=1)
         assign = d.argmin(axis=1)
         for j in range(n_lists):
             pts = sample[assign == j]
@@ -256,24 +272,28 @@ def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> F.Column:
     doubles would make the tie-break depend on the last ulp). Ties after
     rounding go to the lower centroid index on every side."""
     v = F.col(vec_col)
-    best_id, best_d = F.lit(0), None
-    for j, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.round(
+    # r6: transform over one array-of-arrays literal + array_min/position
+    # instead of a per-centroid when-chain. The when-chain embedded each
+    # running best twice per step, so the expression tree grew ~2^n_lists
+    # (2 MB task binaries, seconds of analysis/codegen per invocation);
+    # this tree is linear in n_lists. Semantics identical: each distance
+    # is the same zip_with/aggregate/round expression, and
+    # array_position(min) takes the FIRST minimum — the same lower-index
+    # tie-break the strict `<` chain produced.
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cent_arr,
+        lambda carr: F.round(
             F.aggregate(
                 F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ),
             9,
-        )
-        if best_d is None:
-            best_d = d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(j)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def ivf_ann_topk(

@@ -45,3 +45,23 @@ def test_probe_recall_vs_bruteforce(emb, centroids):
     # small probe still finds the query's own list (top-1 must survive)
     approx = ivf_ann_topk(emb, query, centroids, k=5, nprobe=2).toPandas()
     assert len(set(approx["vec_id"]) & exact) >= 3
+
+
+def test_lloyd_kmeans_centroid_loop_bit_equal():
+    """The r6 per-centroid distance loop reproduces the broadcast
+    formulation bit for bit (same contiguous reduction axis)."""
+    import numpy as np
+
+    from sparkts.operators.similarity import lloyd_kmeans
+
+    rng = np.random.default_rng(3)
+    sample = rng.normal(0, 1, (700, 32))
+    ref_cent = sample[np.random.default_rng(42).choice(700, 8, replace=False)].copy()
+    for _ in range(10):
+        d = ((sample[:, None, :] - ref_cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(8):
+            pts = sample[assign == j]
+            if pts.shape[0]:
+                ref_cent[j] = pts.mean(axis=0)
+    assert np.array_equal(lloyd_kmeans(sample, 8, 10, 42), ref_cent)
