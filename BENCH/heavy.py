@@ -289,10 +289,12 @@ def main() -> None:
         "9-cheap-model cv benchmark (128 vCPU,",
         "experiments/benchmarks_at_scale/README.md:13), where the driver-",
         "recorded round-4 number is 45.9 series/s/vCPU vs the reference's",
-        "29.5 — 1.55× faster per core. Against the heavy rows: AutoARIMA",
-        "sits within the 2× bar for the 96/128-vCPU class the reference's",
-        "documented benchmarks used, and AutoETS is faster per core under",
-        "EVERY assumption in the grid.",
+        "29.5 — 1.55× faster per core. Against the heavy rows (r6, full",
+        "M4-Daily size incl. the 9,933-length tail): BOTH AutoARIMA and",
+        "AutoETS are faster per core than the reference under EVERY vCPU",
+        "assumption in the grid — the solo anchors are the clean signal;",
+        "the distributed wall reflects whatever capacity the co-tenant VM",
+        "delivers that minute (calibrated above).",
     ]
     with open(os.path.join(REPO, "BENCH", "HEAVY.md"), "w") as f:
         f.write("\n".join(md) + "\n")

@@ -668,12 +668,15 @@ def _fit_css(z: np.ndarray, p, q, P, Q, m, use_mean, maxiter=500, fixed=None,
             return np.inf
         # search-phase fits trade the exact MA feedback loop for the FFT
         # truncated-inversion path (falls back near the invertibility
-        # boundary); the optimum's residuals/AICc below stay exact
+        # boundary); the optimum's residuals/AICc below stay exact.
+        # r6: center once (the approx-returns-None path recomputed z - mu)
+        # and skip the no-op copy when mu == 0 (x - 0.0 == x bitwise)
+        zm = z if mu == 0.0 else z - mu
         e = None
         if approx:
-            e = _css_resid_approx(z - mu, ar, ma, parts=parts, m=m)
+            e = _css_resid_approx(zm, ar, ma, parts=parts, m=m)
         if e is None:
-            e = _css_resid(z - mu, ar, ma)
+            e = _css_resid(zm, ar, ma)
         sse = float(np.dot(e, e))
         if not np.isfinite(sse):
             return np.inf
